@@ -1,38 +1,245 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry is one operator from SURVEY.md §2 implemented
+Spark-first in ``ontology_loader_spark/``; each ``oracle_sql()`` entry
+is an independent ANSI-SQL restatement (DuckDB) over the same parquet
+views. KG inputs (term_dict / edges / transcripts) are derived
+deterministically from ``part``/``lineitem`` so both engines see
+identical inputs (``ontology_loader_spark/inputs/derive.py``).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ontology_loader_spark import oracle
+from ontology_loader_spark.inputs import derive
+from ontology_loader_spark.operators.classes import build_ontology_classes
+from ontology_loader_spark.operators.closure import (
+    ancestor_closure,
+    direct_relations,
+    relevant_entities,
+)
+from ontology_loader_spark.operators.curie import matches_ontology
+from ontology_loader_spark.operators.reconcile import (
+    apply_relation_upserts,
+    classify_class_changes,
+    delete_obsolete_relations,
+    obsolete_ids,
+)
+from ontology_loader_spark.operators.redirects import redirect_map
+from ontology_loader_spark.operators.relations import distinct_relations, union_relations
+from ontology_loader_spark.pipeline import extract, run_ontology_load
+from ontology_loader_spark.transcripts.mentions import (
+    detect_mentions,
+    mention_counts_salted,
+    top1_links,
+)
+from ontology_loader_spark.transcripts.ordering import with_turn_order
+from ontology_loader_spark.transcripts.unionfind import (
+    comention_pairs,
+    connected_components,
+)
+
+ONT = derive.ONT
+
+
+def _flatten_classes(classes: DataFrame) -> DataFrame:
+    """Scalar projection of the class set for oracle hashing (arrays →
+    joined strings)."""
+    return classes.select(
+        "id",
+        "type",
+        F.array_join("alternative_names", ",").alias("alt_names_str"),
+        "definition",
+        "is_root",
+        "is_obsolete",
+        "name",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_f1_curie_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    return td.filter(matches_ontology(F.col("id"), ONT)).select("id")
+
+
+def q_class_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    return _flatten_classes(build_ontology_classes(td, ed, ONT))
+
+
+def q_root_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    classes = build_ontology_classes(td, ed, ONT)
+    return classes.filter(F.col("is_root")).select("id")
+
+
+def q_direct_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    return direct_relations(ed, relevant_entities(td, ONT))
+
+
+def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    return ancestor_closure(ed, relevant_entities(td, ONT), ONT)
+
+
+def _relations_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    rel = relevant_entities(td, ONT).localCheckpoint(eager=True)
+    bag = union_relations(
+        direct_relations(ed, rel), ancestor_closure(ed, rel, ONT)
+    )
+    return distinct_relations(bag)
+
+
+def q_relation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _relations_set(spark, sf_dir)
+
+
+def q_relations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dset = _relations_set(spark, sf_dir)
+    return dset.groupBy("subject").agg(
+        F.count("*").alias("n_relations"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.concat("predicate", F.lit("|"), "object"))
+            ),
+            ";",
+        ).alias("relations_str"),
+    )
+
+
+def q_class_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    incoming = build_ontology_classes(td, ed, ONT)
+    prior = build_ontology_classes(derive.derive_prior_term_dict(spark, sf_dir), ed, ONT)
+    return classify_class_changes(incoming, prior).select("id", "change_kind")
+
+
+def q_obsolete_relation_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    incoming = build_ontology_classes(td, ed, ONT)
+    prior_rel = direct_relations(ed, relevant_entities(td, ONT))
+    survived = delete_obsolete_relations(prior_rel, obsolete_ids(incoming))
+    return survived.select("subject", "predicate", "object")
+
+
+def q_relation_upsert_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    incoming_classes = build_ontology_classes(td, ed, ONT)
+    prior_rel = direct_relations(ed, relevant_entities(td, ONT))
+    after_delete = delete_obsolete_relations(prior_rel, obsolete_ids(incoming_classes))
+    incoming = _relations_set(spark, sf_dir)
+    return apply_relation_upserts(after_delete, incoming).select(
+        "subject", "predicate", "object"
+    )
+
+
+def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    return redirect_map(td).select("src", "dst")
+
+
+def q_transcript_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = derive.derive_transcripts(spark, sf_dir)
+    return with_turn_order(tr).select("conv_id", "turn_idx", "rn", "text")
+
+
+def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    return detect_mentions(spark, tr, md)
+
+
+def q_entity_linking_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    return top1_links(detect_mentions(spark, tr, md))
+
+
+def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    return mention_counts_salted(detect_mentions(spark, tr, md))
+
+
+def q_union_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    mentions = detect_mentions(spark, tr, md).localCheckpoint(eager=True)
+    nodes = mentions.select(F.col("term_id").alias("node")).distinct()
+    comps = connected_components(nodes, comention_pairs(mentions))
+    return comps.select(F.col("node").alias("term_id"), "component")
+
+
+# ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full ontology load on sf0.001 (extraction + Q5
+    reconciliation against an empty store) — returns the end-state
+    distinct relation set."""
+    sf_dir = "/root/testdata/sf0.001"
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    ext, rec = run_ontology_load(td, ed, ONT)
+    return rec.relation_state
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "f1_curie_filter": q_f1_curie_filter,
+        "class_construction": q_class_construction,
+        "root_detection": q_root_detection,
+        "direct_relations": q_direct_relations,
+        "ancestor_closure": q_ancestor_closure,
+        "relation_set": q_relation_set,
+        "relations_agg": q_relations_agg,
+        "class_cdc": q_class_cdc,
+        "obsolete_relation_delete": q_obsolete_relation_delete,
+        "relation_upsert_end_state": q_relation_upsert_end_state,
+        "redirect_map": q_redirect_map,
+        "transcript_ordering": q_transcript_ordering,
+        "mention_detection": q_mention_detection,
+        "entity_linking_top1": q_entity_linking_top1,
+        "mention_counts": q_mention_counts,
+        "union_find": q_union_find,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f1_curie_filter": oracle.q_f1_curie_filter(),
+        "class_construction": oracle.q_class_construction(),
+        "root_detection": oracle.q_root_detection(),
+        "direct_relations": oracle.q_direct_relations(),
+        "ancestor_closure": oracle.q_ancestor_closure(),
+        "relation_set": oracle.q_relation_set(),
+        "relations_agg": oracle.q_relations_agg(),
+        "class_cdc": oracle.q_class_cdc(),
+        "obsolete_relation_delete": oracle.q_obsolete_relation_delete(),
+        "relation_upsert_end_state": oracle.q_relation_upsert_end_state(),
+        "redirect_map": oracle.q_redirect_map(),
+        "transcript_ordering": oracle.q_transcript_ordering(),
+        "mention_detection": oracle.q_mention_detection(),
+        "entity_linking_top1": oracle.q_entity_linking_top1(),
+        "mention_counts": oracle.q_mention_counts(),
+        "union_find": oracle.q_union_find(),
+    }

@@ -1,0 +1,156 @@
+"""J1/J2/J3 — direct assertion selection and reflexive transitive
+ancestor closure.
+
+Reference semantics (``ontology_processor.py:152-211``):
+
+- Relevant entities = **all** entities (obsoletes included — quirk Q6,
+  ``:168``) passing the F1 ontology filter.
+- J1 direct edges (``:174-181``): keep edges whose *subject* is
+  relevant AND predicate ∈ {rdfs:subClassOf, BFO:0000050}; the object
+  is NOT filtered (quirk Q2).
+- J2 closure (``:189-199``): per entity, ``adapter.ancestors(entity,
+  reflexive=True, predicates=...)`` — reflexive (quirk Q1), traverses
+  the edge graph *through* foreign-ontology intermediates, and filters
+  only the emitted ancestor with F1 (``:198-199``, quirk Q2 asymmetry).
+- J3 projection (``:202-205``): ``(entity,
+  'entailed_isa_partof_closure', ancestor)`` with per-entity set
+  dedup (quirk Q4: closure rows unique per subject).
+
+Spark-first design: the reference runs one recursive SQLite traversal
+*per entity* (``:197``). We instead compute ONE global closure as an
+iterative frontier self-join to fixpoint (semi-naive evaluation):
+each iteration joins the current frontier against the (broadcastable)
+predicate-filtered edge set, anti-joins out pairs already reached, and
+unions into the accumulator. ``localCheckpoint()`` every iteration
+truncates lineage so plan depth stays O(1) instead of O(depth)
+(SURVEY.md §4.2.1). Iteration count is O(DAG height) — tens, never
+data-sized. Root/hub ancestors concentrate on few keys; the distinct
+inside the loop shuffles on (subject, object) pairs which are
+well-spread, so no salting is needed here (the pair key, not the hot
+ancestor key, is the shuffle key).
+
+At 100 TB-scale the edge set (ontology graph) is small (≤ millions of
+rows) while the *pair* accumulator can reach |terms| × depth; both stay
+distributed — nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.curie import matches_ontology
+from ontology_loader_spark.schemas import (
+    CLOSURE_PREDICATE,
+    DEFAULT_PREDICATES,
+    ONTOLOGY_RELATION_TYPE,
+)
+
+
+def relevant_entities(term_dict: DataFrame, ontology: str) -> DataFrame:
+    """Q6 — the closure domain: every term id (obsoletes INCLUDED,
+    ``ontology_processor.py:168``) passing F1."""
+    return term_dict.select("id").filter(matches_ontology(F.col("id"), ontology))
+
+
+def select_hierarchy_edges(
+    edges: DataFrame, predicates: tuple[str, ...] = DEFAULT_PREDICATES
+) -> DataFrame:
+    """Predicate-filtered edge set — pushed down to the scan."""
+    return edges.filter(F.col("predicate").isin(*predicates)).select(
+        "subject", "predicate", "object"
+    )
+
+
+def direct_relations(
+    edges: DataFrame,
+    relevant: DataFrame,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+) -> DataFrame:
+    """J1 — direct assertions: subject ∈ relevant AND predicate ∈ set,
+    object unfiltered (Q2). Broadcast hash semi-join: the relevant-id
+    set is the small build side (``ontology_processor.py:174-181``)."""
+    return (
+        select_hierarchy_edges(edges, predicates)
+        .join(
+            F.broadcast(relevant.withColumnRenamed("id", "subject")),
+            "subject",
+            "left_semi",
+        )
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.lit(ONTOLOGY_RELATION_TYPE).alias("type"),
+        )
+    )
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    relevant: DataFrame,
+    ontology: str,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """J2+J3 — reflexive transitive closure triples.
+
+    Returns ``(subject, 'entailed_isa_partof_closure', object, type)``
+    distinct per (subject, object), reproducing quirks Q1 (reflexive),
+    Q2 (only the emitted ancestor is F1-filtered; traversal passes
+    through foreign nodes), Q6 (domain includes obsoletes).
+
+    Equivalent SQL (Spark 4 / DuckDB)::
+
+        WITH RECURSIVE reach(s, o) AS (
+            SELECT id, id FROM relevant
+            UNION
+            SELECT r.s, e.object FROM reach r JOIN hedges e ON r.o = e.subject
+        )
+        SELECT s, 'entailed_isa_partof_closure', o FROM reach
+        WHERE <F1 on o>
+
+    We keep the explicit driver loop (semi-naive, localCheckpoint per
+    iteration) for lineage/checkpoint control (SURVEY.md §4.2.1).
+    """
+    hedges = (
+        select_hierarchy_edges(edges, predicates)
+        .select("subject", "object")
+        .distinct()
+    )
+    # The ontology edge set is small relative to the fact tables —
+    # cache it; it is the probe side of every iteration.
+    hedges = hedges.localCheckpoint(eager=True)
+
+    ids = relevant.select(F.col("id").alias("s"))
+    # Reflexive seed (Q1): every relevant entity reaches itself.
+    closure = ids.select(F.col("s"), F.col("s").alias("o")).localCheckpoint(eager=True)
+    frontier = closure
+
+    for _ in range(max_iterations):
+        stepped = (
+            frontier.join(
+                F.broadcast(hedges),
+                frontier["o"] == hedges["subject"],
+                "inner",
+            )
+            .select(frontier["s"], hedges["object"].alias("o"))
+            .distinct()
+        )
+        new = stepped.join(closure, ["s", "o"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"ancestor_closure did not converge in {max_iterations} iterations "
+            "(cycle-heavy graph deeper than the bound?)"
+        )
+
+    return closure.filter(matches_ontology(F.col("o"), ontology)).select(
+        F.col("s").alias("subject"),
+        F.lit(CLOSURE_PREDICATE).alias("predicate"),
+        F.col("o").alias("object"),
+        F.lit(ONTOLOGY_RELATION_TYPE).alias("type"),
+    )

@@ -1,0 +1,337 @@
+"""ANSI-SQL oracle definitions (DuckDB-compatible) for every KG
+operator, built over the derivation CTEs in ``inputs/derive.py``.
+
+These strings serve two purposes: (a) the driver's correctness gate
+(``__spark_entry__.oracle_sql``) and (b) dev-time parity checks. The
+SQL is the *independent* re-statement of the semantics — the Spark side
+never executes these.
+"""
+
+from __future__ import annotations
+
+from ontology_loader_spark.inputs.derive import (
+    EDGES_CTE,
+    MENTION_DICT_CTE,
+    TERM_DICT_CTE,
+    TRANSCRIPTS_CTE,
+)
+from ontology_loader_spark.operators.curie import matches_ontology_sql
+
+F1_ID = matches_ontology_sql("id", "fix")
+F1_T_ID = matches_ontology_sql("t.id", "fix")
+F1_O = matches_ontology_sql("o", "fix")
+
+PREDICATES_SQL = "('rdfs:subClassOf', 'BFO:0000050')"
+
+RELEVANT_CTE = f"""
+relevant AS (
+  SELECT id FROM term_dict WHERE {F1_ID}
+)"""
+
+HEDGES_CTE = f"""
+hedges AS (
+  SELECT DISTINCT subject, object FROM edges
+  WHERE predicate IN {PREDICATES_SQL}
+)"""
+
+# Reflexive transitive closure (quirks Q1/Q2/Q6):
+# seed = relevant ids (obsoletes included), traversal through any node,
+# emitted ancestor F1-filtered in closure_rel below.
+REACH_CTE = """
+reach(s, o) AS (
+  SELECT id AS s, id AS o FROM relevant
+  UNION
+  SELECT r.s, e.object AS o FROM reach r JOIN hedges e ON r.o = e.subject
+)"""
+
+CLASSES_CTE = f"""
+classes AS (
+  SELECT
+    t.id AS id,
+    'nmdc:OntologyClass' AS type,
+    t.alt_names_str AS alt_names_str,
+    COALESCE(t.definition, '') AS definition,
+    (NOT EXISTS (SELECT 1 FROM edges e
+                 WHERE e.subject = t.id
+                   AND e.predicate IN {PREDICATES_SQL})) AS is_root,
+    COALESCE(t.is_obsolete, FALSE) AS is_obsolete,
+    COALESCE(t.name, '') AS name
+  FROM term_dict t WHERE {F1_T_ID}
+)"""
+
+DIRECT_REL_CTE = f"""
+direct_rel AS (
+  SELECT e.subject AS subject, e.predicate AS predicate, e.object AS object,
+         'nmdc:OntologyRelation' AS type
+  FROM edges e
+  WHERE e.predicate IN {PREDICATES_SQL}
+    AND EXISTS (SELECT 1 FROM relevant r WHERE r.id = e.subject)
+)"""
+
+CLOSURE_REL_CTE = f"""
+closure_rel AS (
+  SELECT s AS subject, 'entailed_isa_partof_closure' AS predicate,
+         o AS object, 'nmdc:OntologyRelation' AS type
+  FROM reach WHERE {F1_O}
+)"""
+
+ALL_REL_CTE = """
+all_rel AS (
+  SELECT * FROM direct_rel
+  UNION ALL
+  SELECT * FROM closure_rel
+)"""
+
+DISTINCT_REL_CTE = """
+distinct_rel AS (
+  SELECT DISTINCT subject, predicate, object,
+         'nmdc:OntologyRelation' AS type
+  FROM all_rel
+)"""
+
+# Prior-state derivations for the reconciliation (CDC) oracles:
+# prior state = classes with k % 4 == 1 missing (-> inserts), k % 8 == 2
+# definitions perturbed (-> updates), everything marked non-obsolete
+# (-> incoming obsoletes exercise M1).
+PRIOR_CLASSES_CTE = f"""
+prior_classes AS (
+  SELECT
+    t.id AS id,
+    'nmdc:OntologyClass' AS type,
+    t.alt_names_str AS alt_names_str,
+    CASE WHEN t.k % 8 = 2 THEN 'stale definition'
+         ELSE COALESCE(t.definition, '') END AS definition,
+    (NOT EXISTS (SELECT 1 FROM edges e
+                 WHERE e.subject = t.id
+                   AND e.predicate IN {PREDICATES_SQL})) AS is_root,
+    FALSE AS is_obsolete,
+    COALESCE(t.name, '') AS name
+  FROM term_dict t WHERE {F1_T_ID} AND t.k % 4 <> 1
+)"""
+
+PRIOR_REL_CTE = """
+prior_rel AS (
+  SELECT subject, predicate, object, 'nmdc:OntologyRelation' AS type
+  FROM direct_rel
+)"""
+
+
+def _with(*ctes: str, body: str) -> str:
+    joined = ",\n".join(c.strip() for c in ctes)
+    return f"WITH RECURSIVE {joined}\n{body}"
+
+
+KG_BASE_CTES = (TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, HEDGES_CTE, REACH_CTE)
+
+
+def q_f1_curie_filter() -> str:
+    return _with(
+        TERM_DICT_CTE,
+        body=f"SELECT id FROM term_dict WHERE {F1_ID}",
+    )
+
+
+def q_root_detection() -> str:
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, CLASSES_CTE,
+        body="SELECT id FROM classes WHERE is_root",
+    )
+
+
+def q_class_construction() -> str:
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, CLASSES_CTE,
+        body="SELECT id, type, alt_names_str, definition, is_root, "
+        "is_obsolete, name FROM classes",
+    )
+
+
+def q_direct_relations() -> str:
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, DIRECT_REL_CTE,
+        body="SELECT subject, predicate, object, type FROM direct_rel",
+    )
+
+
+def q_ancestor_closure() -> str:
+    return _with(
+        *KG_BASE_CTES, CLOSURE_REL_CTE,
+        body="SELECT subject, predicate, object, type FROM closure_rel",
+    )
+
+
+def q_relation_set() -> str:
+    return _with(
+        *KG_BASE_CTES, DIRECT_REL_CTE, CLOSURE_REL_CTE, ALL_REL_CTE, DISTINCT_REL_CTE,
+        body="SELECT subject, predicate, object, type FROM distinct_rel",
+    )
+
+
+def q_relations_agg() -> str:
+    return _with(
+        *KG_BASE_CTES, DIRECT_REL_CTE, CLOSURE_REL_CTE, ALL_REL_CTE, DISTINCT_REL_CTE,
+        body="SELECT subject, COUNT(*) AS n_relations, "
+        "string_agg(predicate || '|' || object, ';' "
+        "ORDER BY predicate || '|' || object) AS relations_str "
+        "FROM distinct_rel GROUP BY subject",
+    )
+
+
+def q_class_cdc() -> str:
+    """M2 routing oracle: classify incoming classes vs prior state."""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, CLASSES_CTE, PRIOR_CLASSES_CTE,
+        body="""
+SELECT c.id AS id,
+  CASE WHEN p.id IS NULL THEN 'insert'
+       WHEN c.type IS DISTINCT FROM p.type
+         OR c.alt_names_str IS DISTINCT FROM p.alt_names_str
+         OR c.definition IS DISTINCT FROM p.definition
+         OR c.is_root IS DISTINCT FROM p.is_root
+         OR c.is_obsolete IS DISTINCT FROM p.is_obsolete
+         OR c.name IS DISTINCT FROM p.name
+       THEN 'update' ELSE 'unchanged' END AS change_kind
+FROM classes c LEFT JOIN prior_classes p ON c.id = p.id""",
+    )
+
+
+def q_obsolete_relation_delete() -> str:
+    """M1 relation delete oracle: prior relations surviving the
+    obsolete subject-or-object purge."""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, DIRECT_REL_CTE, PRIOR_REL_CTE, CLASSES_CTE,
+        body="""
+SELECT r.subject AS subject, r.predicate AS predicate, r.object AS object
+FROM prior_rel r
+WHERE NOT EXISTS (SELECT 1 FROM classes c
+                  WHERE c.is_obsolete AND c.id = r.subject)
+  AND NOT EXISTS (SELECT 1 FROM classes c
+                  WHERE c.is_obsolete AND c.id = r.object)""",
+    )
+
+
+def q_relation_upsert_end_state() -> str:
+    """M1+M3 end-state oracle (Q5 ordering): prior relations minus
+    obsolete-referencing rows, upserted with incoming distinct
+    relations."""
+    return _with(
+        *KG_BASE_CTES, DIRECT_REL_CTE, CLOSURE_REL_CTE, ALL_REL_CTE,
+        DISTINCT_REL_CTE, PRIOR_REL_CTE, CLASSES_CTE,
+        body="""
+SELECT subject, predicate, object FROM (
+  SELECT r.subject, r.predicate, r.object
+  FROM prior_rel r
+  WHERE NOT EXISTS (SELECT 1 FROM classes c
+                    WHERE c.is_obsolete AND c.id = r.subject)
+    AND NOT EXISTS (SELECT 1 FROM classes c
+                    WHERE c.is_obsolete AND c.id = r.object)
+    AND NOT EXISTS (SELECT 1 FROM distinct_rel d
+                    WHERE d.subject = r.subject
+                      AND d.predicate = r.predicate
+                      AND d.object = r.object)
+  UNION ALL
+  SELECT subject, predicate, object FROM distinct_rel
+)""",
+    )
+
+
+def q_transcript_ordering() -> str:
+    """T1 oracle: stable per-conversation ordering — row_number over
+    (conv_id, turn_idx) must equal turn_idx + 1 for every turn (the
+    per-turn text-equality invariant's ordering half)."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT conv_id, turn_idx, rn, text FROM (
+  SELECT conv_id, turn_idx, text,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, text)
+              AS INTEGER) AS rn
+  FROM transcripts
+)""",
+    )
+
+
+def q_mention_detection() -> str:
+    """T2 oracle: dictionary substring matching — a mention row per
+    (turn, term) where the term surface form occurs in the text."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        body="""
+SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+       d.id AS term_id, d.name AS surface
+FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)""",
+    )
+
+
+def q_entity_linking_top1() -> str:
+    """T2 scoring oracle: top-1 candidate per turn — longest surface
+    wins, term id breaks ties."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        body="""
+SELECT conv_id, turn_idx, term_id, surface FROM (
+  SELECT t.conv_id, t.turn_idx, d.id AS term_id, d.name AS surface,
+         ROW_NUMBER() OVER (PARTITION BY t.conv_id, t.turn_idx
+                            ORDER BY length(d.name) DESC, d.id) AS rnk
+  FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+) WHERE rnk = 1""",
+    )
+
+
+def q_redirect_map() -> str:
+    """Alt-id / obsolete-term redirect map: follow replaced_by chains
+    from each obsolete term to a live target (chains here are length 1
+    by construction; the recursive form is used so the oracle pins the
+    chain-following semantics)."""
+    return _with(
+        TERM_DICT_CTE,
+        """redirect(src, dst) AS (
+  SELECT id AS src, replaced_by AS dst FROM term_dict
+  WHERE is_obsolete AND replaced_by IS NOT NULL
+  UNION
+  SELECT r.src, t.replaced_by AS dst
+  FROM redirect r JOIN term_dict t
+    ON r.dst = t.id AND t.is_obsolete AND t.replaced_by IS NOT NULL
+)""",
+        body="""
+SELECT src, dst FROM redirect r
+WHERE NOT EXISTS (SELECT 1 FROM term_dict t
+                  WHERE t.id = r.dst AND t.is_obsolete
+                    AND t.replaced_by IS NOT NULL)""",
+    )
+
+
+def q_mention_counts() -> str:
+    """Mention counts per term — the salted two-phase aggregation's
+    semantics are exactly GROUP BY COUNT (salting is physical only)."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        body="""
+SELECT d.id AS term_id, COUNT(*) AS n_mentions
+FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+GROUP BY d.id""",
+    )
+
+
+def q_union_find() -> str:
+    """T3 oracle: connected components (min-label) over the co-mention
+    graph — terms co-mentioned in one turn share a component."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        """mentions AS (
+  SELECT t.conv_id, t.turn_idx, d.id AS term_id
+  FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+)""",
+        """pairs AS (
+  SELECT DISTINCT a.term_id AS u, b.term_id AS v
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.term_id <> b.term_id
+)""",
+        """cc(node, reach) AS (
+  SELECT term_id AS node, term_id AS reach FROM (SELECT DISTINCT term_id FROM mentions)
+  UNION
+  SELECT c.node, p.v AS reach FROM cc c JOIN pairs p ON c.reach = p.u
+)""",
+        body="SELECT node AS term_id, MIN(reach) AS component FROM cc GROUP BY node",
+    )

@@ -1,0 +1,140 @@
+"""End-to-end KG construction job (SURVEY.md §7.0 architecture).
+
+``run_ontology_load`` mirrors the reference's
+``OntologyLoaderController.run_ontology_loader``
+(``ontology_load_controller.py:52-92``) as one lazy DataFrame DAG:
+
+  term_dict + edges
+    → class construction (P1/P2/P3)
+    → direct assertions (J1) + reflexive closure (J2/J3)
+    → relation union (U1) + per-term relations array (A1/Q12)
+    → Q5-ordered reconciliation vs prior state (M1→M2→M3)
+    → reports (K1) + metrics (K2)
+
+``run_transcript_kg`` is the transcript front-end feeding the same
+back half: ordering (T1) → mention detection + linking (T2) →
+union-find canonicalization (T3) → assertion triples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.classes import build_ontology_classes
+from ontology_loader_spark.operators.closure import (
+    ancestor_closure,
+    direct_relations,
+    relevant_entities,
+)
+from ontology_loader_spark.operators.reconcile import ReconcileResult, reconcile
+from ontology_loader_spark.operators.relations import (
+    attach_relations,
+    distinct_relations,
+    union_relations,
+)
+from ontology_loader_spark.schemas import DEFAULT_PREDICATES
+
+
+@dataclass
+class ExtractionResult:
+    classes: DataFrame          # with relations arrays attached (Q12)
+    relations_bag: DataFrame    # U1 bag (report semantics, Q4)
+    relations_set: DataFrame    # distinct (s,p,o) (store semantics)
+
+
+def extract(
+    term_dict: DataFrame,
+    edges: DataFrame,
+    ontology: str,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+) -> ExtractionResult:
+    """Stages 3-4 of the reference plan (term extraction + closure,
+    ``ontology_load_controller.py:60-67``) as one DAG."""
+    relevant = relevant_entities(term_dict, ontology).localCheckpoint(eager=True)
+    classes = build_ontology_classes(term_dict, edges, ontology, predicates)
+    direct = direct_relations(edges, relevant, predicates)
+    closure = ancestor_closure(edges, relevant, ontology, predicates)
+    bag = union_relations(direct, closure)
+    dset = distinct_relations(bag)
+    classes_with_rel = attach_relations(classes, bag)
+    return ExtractionResult(
+        classes=classes_with_rel, relations_bag=bag, relations_set=dset
+    )
+
+
+def run_ontology_load(
+    term_dict: DataFrame,
+    edges: DataFrame,
+    ontology: str,
+    prior_class_state: DataFrame | None = None,
+    prior_relation_state: DataFrame | None = None,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+) -> tuple[ExtractionResult, ReconcileResult]:
+    """Full load: extraction + Q5-ordered reconciliation.
+
+    ``None`` prior state = empty store (the reference's first-run
+    path); we synthesize empty frames with the right schemas.
+    """
+    spark = term_dict.sparkSession
+    ext = extract(term_dict, edges, ontology, predicates)
+    if prior_class_state is None:
+        prior_class_state = spark.createDataFrame([], ext.classes.schema)
+    if prior_relation_state is None:
+        prior_relation_state = spark.createDataFrame([], ext.relations_set.schema)
+    rec = reconcile(
+        incoming_classes=ext.classes,
+        incoming_relations=ext.relations_bag,
+        class_state=prior_class_state,
+        relation_state=prior_relation_state,
+    )
+    return ext, rec
+
+
+def transcript_assertions(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    term_dict: DataFrame,
+) -> DataFrame:
+    """T1-T3: transcripts → linked mentions → canonicalized
+    co-occurrence assertions (subject term, 'co_mentioned_with',
+    canonical object term)."""
+    from ontology_loader_spark.operators.redirects import redirect_map
+    from ontology_loader_spark.transcripts.mentions import detect_mentions, top1_links
+    from ontology_loader_spark.transcripts.unionfind import (
+        comention_pairs,
+        connected_components,
+    )
+
+    mentions = detect_mentions(spark, transcripts, mention_dict)
+    links = top1_links(mentions)
+    pairs = comention_pairs(mentions)
+    nodes = mentions.select(F.col("term_id").alias("node")).distinct()
+    components = connected_components(nodes, pairs)
+
+    # obsolete mentions redirect to their live replacement before
+    # assertion emission
+    redirects = redirect_map(term_dict)
+    canonical_links = (
+        links.join(
+            F.broadcast(redirects.withColumnRenamed("src", "term_id")),
+            "term_id",
+            "left",
+        )
+        .withColumn("canon_id", F.coalesce(F.col("dst"), F.col("term_id")))
+        .select("conv_id", "turn_idx", "canon_id")
+    )
+    return (
+        canonical_links.join(
+            components.withColumnRenamed("node", "canon_id"), "canon_id", "left"
+        )
+        .select(
+            F.col("canon_id").alias("subject"),
+            F.lit("co_mentioned_with").alias("predicate"),
+            F.coalesce(F.col("component"), F.col("canon_id")).alias("object"),
+        )
+        .distinct()
+    )

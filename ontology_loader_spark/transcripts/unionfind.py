@@ -1,0 +1,73 @@
+"""T3 — union-find canonicalization via iterative min-label propagation.
+
+Canonicalizes linked mentions: terms co-mentioned within one turn form
+an undirected graph; each connected component collapses to its minimum
+term id (the canonical entity). The reference has no such operator —
+the iterative-self-join skeleton is shared with the ancestor closure
+(SURVEY.md §7.1.4).
+
+Algorithm (distributed, driver-loop fixpoint): labels start as each
+node's own id; every iteration each node takes the min of its own label
+and its neighbors' labels; stop when no label changes. Iterations are
+O(component diameter). ``localCheckpoint`` per iteration truncates
+lineage. All joins key on node ids (well-spread); the groupBy(min) is
+map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def comention_pairs(mentions: DataFrame) -> DataFrame:
+    """Distinct directed pairs (u, v), both directions, of terms
+    co-mentioned in the same (conv_id, turn_idx)."""
+    a = mentions.select("conv_id", "turn_idx", F.col("term_id").alias("u"))
+    b = mentions.select("conv_id", "turn_idx", F.col("term_id").alias("v"))
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iterations: int = 64
+) -> DataFrame:
+    """Min-label connected components.
+
+    ``nodes``: one column ``node``; ``pairs``: columns ``u, v``
+    (symmetric). Returns (node, component).
+    """
+    edges = pairs.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor = (
+            edges.join(labels, edges["u"] == labels["node"], "inner")
+            .select(F.col("v").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    return labels
