@@ -114,6 +114,20 @@ def _any_field_differs() -> F.Column:
     return pred
 
 
+def _one_doc_per_id(state: DataFrame) -> DataFrame:
+    """The reference diffs against ``rows[0]`` of the store lookup
+    (``mongodb_loader.py:80``); 'first' is ill-defined distributed, so
+    we pick a deterministic representative per id (min by JSON render)
+    — duplicate ids are a store anomaly (Q11), not a normal state."""
+    cols = state.columns
+    key = F.to_json(F.struct(*cols))
+    return (
+        state.groupBy("id")
+        .agg(F.min_by(F.struct(*[c for c in cols if c != "id"]), key).alias("doc"))
+        .select("id", "doc.*")
+    )
+
+
 def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataFrame:
     """M2 routing: left-join incoming classes against (post-M1) state
     and tag each row ``insert`` / ``update`` / ``unchanged``.
@@ -123,7 +137,7 @@ def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataF
     single ``MERGE INTO`` (SURVEY.md §2.1 M2).
     """
     inc = incoming.alias("inc")
-    st = class_state.alias("st")
+    st = _one_doc_per_id(class_state).alias("st")
     joined = inc.join(st, F.col("inc.id") == F.col("st.id"), "left")
     return joined.select(
         *[F.col(f"inc.{c}").alias(c) for c in incoming.columns],

@@ -1,0 +1,125 @@
+"""Transcript front-end tests: the north rule's per-turn text-equality
+invariant under stable ordering, mention detection determinism,
+linking, union-find, and the redirect map."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.redirects import redirect_map
+from ontology_loader_spark.schemas import TERM_DICT_SCHEMA, TRANSCRIPT_SCHEMA
+from ontology_loader_spark.transcripts.mentions import detect_mentions, top1_links
+from ontology_loader_spark.transcripts.ordering import reassembled, with_turn_order
+from ontology_loader_spark.transcripts.unionfind import (
+    comention_pairs,
+    connected_components,
+)
+
+import datetime
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def turns(conv, texts):
+    # written out of order on purpose (FIXTURES.md: generated out of
+    # order on disk to force the windowed reordering path)
+    rows = [
+        (conv, i, ["user", "assistant", "tool"][i % 3], t,
+         "search" if i % 3 == 2 else None, TS + datetime.timedelta(seconds=i))
+        for i, t in enumerate(texts)
+    ]
+    return rows[::-1]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = turns("c1", ["alpha beta", "gamma", "alpha delta epsilon"]) + turns(
+        "c2", ["zeta alpha", "beta gamma beta"]
+    )
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_per_turn_text_equality_invariant(spark, transcripts):
+    """After windowed ordering, per-(conv_id, turn_idx) text equals the
+    input byte-for-byte, and rn follows turn_idx order."""
+    ordered = with_turn_order(transcripts)
+    rows = ordered.collect()
+    inp = {(r["conv_id"], r["turn_idx"]): r["text"] for r in transcripts.collect()}
+    for r in rows:
+        assert r["text"] == inp[(r["conv_id"], r["turn_idx"])]
+        assert r["rn"] == r["turn_idx"] + 1  # contiguous per conv here
+
+
+def test_reassembly_stable(spark, transcripts):
+    got = {r["conv_id"]: r["conv_text"] for r in reassembled(transcripts).collect()}
+    assert got["c1"] == "alpha beta\ngamma\nalpha delta epsilon"
+    assert got["c2"] == "zeta alpha\nbeta gamma beta"
+
+
+@pytest.fixture(scope="module")
+def mention_dict(spark):
+    return spark.createDataFrame(
+        [("T:1", "alpha"), ("T:2", "beta"), ("T:3", "alpha delta"), ("T:4", "nomatch")],
+        "id string, name string",
+    )
+
+
+def test_mention_detection_substring_semantics(spark, transcripts, mention_dict):
+    m = detect_mentions(spark, transcripts, mention_dict)
+    got = {(r["conv_id"], r["turn_idx"], r["term_id"]) for r in m.collect()}
+    assert ("c1", 0, "T:1") in got and ("c1", 0, "T:2") in got
+    assert ("c1", 2, "T:1") in got and ("c1", 2, "T:3") in got  # overlapping
+    assert all(t != "T:4" for _, _, t in got)
+    # bag-per-turn: 'beta gamma beta' emits T:2 once per (turn, term)
+    assert sum(1 for c, i, t in got if (c, i, t) == ("c2", 1, "T:2")) == 1
+
+
+def test_mention_detection_partitioning_invariant(spark, transcripts, mention_dict):
+    """Results must not depend on partitioning/batch boundaries
+    (SURVEY.md §7.3.5)."""
+    m1 = sorted(map(tuple, detect_mentions(spark, transcripts.repartition(1),
+                                           mention_dict).collect()))
+    m8 = sorted(map(tuple, detect_mentions(spark, transcripts.repartition(8),
+                                           mention_dict).collect()))
+    assert m1 == m8
+
+
+def test_top1_longest_surface_wins(spark, transcripts, mention_dict):
+    links = top1_links(detect_mentions(spark, transcripts, mention_dict))
+    got = {(r["conv_id"], r["turn_idx"]): r["term_id"] for r in links.collect()}
+    assert got[("c1", 2)] == "T:3"  # 'alpha delta' beats 'alpha'
+    assert got[("c1", 0)] == "T:1"  # tie-ish: alpha(5) = beta(4)? alpha longer
+
+
+def test_union_find_components(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("x", "y"), ("y", "x")],
+        "u string, v string",
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",), ("lone",)],
+                                  "node string")
+    comps = {r["node"]: r["component"]
+             for r in connected_components(nodes, pairs).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["lone"] == "lone"
+
+
+def test_comention_pairs_symmetric(spark, transcripts, mention_dict):
+    m = detect_mentions(spark, transcripts, mention_dict)
+    pairs = {(r["u"], r["v"]) for r in comention_pairs(m).collect()}
+    assert all((v, u) in pairs for u, v in pairs)
+    assert all(u != v for u, v in pairs)
+
+
+def test_redirect_map_follows_chains(spark):
+    td = spark.createDataFrame(
+        [
+            ("A:1", "one", "", [], True, "A:2"),
+            ("A:2", "two", "", [], True, "A:3"),   # chained redirect
+            ("A:3", "three", "", [], False, None),
+            ("A:4", "four", "", [], False, None),
+        ],
+        TERM_DICT_SCHEMA,
+    )
+    got = {r["src"]: r["dst"] for r in redirect_map(td).collect()}
+    assert got == {"A:1": "A:3", "A:2": "A:3"}
