@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ontology_loader_spark import oracle
 from ontology_loader_spark.inputs import derive
+from ontology_loader_spark.operators import dedup as _dedup
+from ontology_loader_spark.operators import multimodal as _multimodal
+from ontology_loader_spark.operators import similarity as _similarity
+from ontology_loader_spark.operators import text as _text
 from ontology_loader_spark.operators.classes import build_ontology_classes
 from ontology_loader_spark.operators.closure import (
     ancestor_closure,
@@ -190,6 +194,89 @@ def q_union_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(F.col("node").alias("term_id"), "component")
 
 
+# ------------------------------------------ training-data pipeline operators
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard(docs, minhash_candidate_pairs(docs))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_embs(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_embs(spark, sf_dir))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_embs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import text_quality
+
+    return text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.multimodal import (
+        decode_payloads,
+        with_payload,
+    )
+
+    return decode_payloads(with_payload(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -221,6 +308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_top1": q_entity_linking_top1,
         "mention_counts": q_mention_counts,
         "union_find": q_union_find,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -242,4 +340,15 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_top1": oracle.q_entity_linking_top1(),
         "mention_counts": oracle.q_mention_counts(),
         "union_find": oracle.q_union_find(),
+        "dedup_exact": _dedup.EXACT_DUP_SQL,
+        "dedup_minhash": _dedup.minhash_candidates_sql(),
+        "dedup_ngram_jaccard": _dedup.ngram_jaccard_sql(),
+        "dedup_simhash": _dedup.simhash_sql(),
+        "ann_cosine_topk": _similarity.brute_force_topk_sql(),
+        "ann_lsh_topk": _similarity.lsh_topk_sql(),
+        "embedding_near_dups": _similarity.embedding_near_dups_sql(),
+        "text_quality": _text.text_quality_sql(),
+        "lang_id": _text.lang_id_sql(),
+        "doc_fingerprint": _text.doc_fingerprint_sql(),
+        "multimodal_decode": _multimodal.decode_metadata_sql(),
     }

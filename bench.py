@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+Each query is materialized with the noop writer so every column and
+every UDF actually executes (a bare count() would let Catalyst prune
+the work away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ontology_loader_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+    from ontology_loader_spark.inputs import derive
+    from ontology_loader_spark.pipeline import run_ontology_load, transcript_assertions
+
+    spark = get_spark(
+        "ontology-loader-spark-bench",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_label = sf_dir.rstrip("/").split("sf")[-1]
+
+    qs = entrymod.queries()
+    bench_queries = [
+        "ancestor_closure",
+        "relation_set",
+        "relations_agg",
+        "class_cdc",
+        "relation_upsert_end_state",
+        "transcript_ordering",
+        "mention_detection",
+        "entity_linking_top1",
+        "union_find",
+    ]
+
+    timings: dict[str, float] = {}
+
+    # Flagship: full ontology load (extraction + Q5 reconcile) — the
+    # triples/sec metric source.
+    t0 = time.time()
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    ext, rec = run_ontology_load(td, ed, derive.ONT)
+    n_triples = rec.relation_state.count()
+    n_classes = rec.class_state.count()
+    timings["full_load"] = time.time() - t0
+    log(f"full_load: {timings['full_load']:.2f}s triples={n_triples} classes={n_classes}")
+
+    # Transcript KG front-end end-to-end (mentions -> links ->
+    # union-find -> assertions).
+    t0 = time.time()
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    assertions = transcript_assertions(spark, tr, md, td)
+    n_assertions = assertions.count()
+    timings["transcript_kg"] = time.time() - t0
+    log(f"transcript_kg: {timings['transcript_kg']:.2f}s assertions={n_assertions}")
+
+    for name in bench_queries:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = time.time() - t0
+        log(f"{name}: {timings[name]:.2f}s")
+
+    total = sum(timings.values())
+    triples_per_sec = n_triples / timings["full_load"] if timings["full_load"] else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf_label,
+                "cpus": int(cpus),
+                "triples": n_triples,
+                "triples_per_sec": round(triples_per_sec, 1),
+                "transcript_assertions": n_assertions,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,7 @@ def ancestor_closure(
     ontology: str,
     predicates: tuple[str, ...] = DEFAULT_PREDICATES,
     max_iterations: int = 64,
+    strategy: str = "frontier",
 ) -> DataFrame:
     """J2+J3 — reflexive transitive closure triples.
 
@@ -112,6 +113,18 @@ def ancestor_closure(
 
     We keep the explicit driver loop (semi-naive, localCheckpoint per
     iteration) for lineage/checkpoint control (SURVEY.md §4.2.1).
+
+    ``strategy``:
+
+    - ``"frontier"`` (default): semi-naive BFS — O(depth) iterations,
+      minimal per-iteration intermediates. Best when depth is small or
+      per-iteration data is large.
+    - ``"doubling"``: path-doubling (repeated squaring of the
+      reachability relation) — O(log2 depth) iterations at the cost of
+      denser intermediates. Best when driver-side iteration overhead
+      dominates (deep hierarchies, many small jobs) — this is the
+      option that keeps the serial fraction negligible in the
+      two-cluster-size scaling gate.
     """
     hedges = (
         select_hierarchy_edges(edges, predicates)
@@ -121,6 +134,9 @@ def ancestor_closure(
     # The ontology edge set is small relative to the fact tables —
     # cache it; it is the probe side of every iteration.
     hedges = hedges.localCheckpoint(eager=True)
+
+    if strategy == "doubling":
+        return _closure_doubling(hedges, relevant, ontology, max_iterations)
 
     ids = relevant.select(F.col("id").alias("s"))
     # Reflexive seed (Q1): every relevant entity reaches itself.
@@ -153,4 +169,45 @@ def ancestor_closure(
         F.lit(CLOSURE_PREDICATE).alias("predicate"),
         F.col("o").alias("object"),
         F.lit(ONTOLOGY_RELATION_TYPE).alias("type"),
+    )
+
+
+def _closure_doubling(
+    hedges: DataFrame, relevant: DataFrame, ontology: str, max_iterations: int
+) -> DataFrame:
+    """Path-doubling reachability: square the pair relation until the
+    fixpoint — reach(k+1) = reach(k) ∪ (reach(k) ⋈ reach(k)); pair
+    count is the convergence test (one action per iteration)."""
+    reach = hedges.select(F.col("subject").alias("s"), F.col("object").alias("o"))
+    reach = reach.localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(max_iterations):
+        squared = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.o") == F.col("r.s"))
+            .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
+        )
+        reach = reach.unionByName(squared).distinct().localCheckpoint(eager=True)
+        n2 = reach.count()
+        if n2 == n:
+            break
+        n = n2
+    else:
+        raise RuntimeError(
+            f"_closure_doubling did not converge in {max_iterations} iterations"
+        )
+    rel = relevant.select(F.col("id").alias("s"))
+    reached = rel.join(reach, "s", "inner").select("s", "o")
+    reflexive = rel.select("s", F.col("s").alias("o"))
+    # a cycle can make s reach itself — dedup against the reflexive seed
+    return (
+        reflexive.unionByName(reached)
+        .distinct()
+        .filter(matches_ontology(F.col("o"), ontology))
+        .select(
+            F.col("s").alias("subject"),
+            F.lit(CLOSURE_PREDICATE).alias("predicate"),
+            F.col("o").alias("object"),
+            F.lit(ONTOLOGY_RELATION_TYPE).alias("type"),
+        )
     )

