@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from ontology_loader_spark import oracle
 from ontology_loader_spark.inputs import derive
 from ontology_loader_spark.operators import dedup as _dedup
+from ontology_loader_spark.operators import events as _events
 from ontology_loader_spark.operators import multimodal as _multimodal
 from ontology_loader_spark.operators import similarity as _similarity
 from ontology_loader_spark.operators import text as _text
@@ -268,6 +269,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.events import tumbling_window_stats
+
+    return tumbling_window_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.multimodal import (
         decode_payloads,
@@ -319,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "event_sessionization": q_event_sessionization,
+        "event_window_stats": q_event_window_stats,
     }
 
 
@@ -351,4 +366,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.lang_id_sql(),
         "doc_fingerprint": _text.doc_fingerprint_sql(),
         "multimodal_decode": _multimodal.decode_metadata_sql(),
+        "event_sessionization": _events.sessionize_sql(),
+        "event_window_stats": _events.tumbling_window_stats_sql(),
     }

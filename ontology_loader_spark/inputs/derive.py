@@ -86,9 +86,9 @@ def read_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
-def derive_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``term_dict`` + helper column ``k`` (the source part key)."""
-    part = read_part(spark, sf_dir)
+def term_dict_from_part(part: DataFrame) -> DataFrame:
+    """Mapping half of ``derive_term_dict`` — works on any part-shaped
+    DataFrame (driver parquet or the synthesizer's output)."""
     k = F.col("p_partkey")
     obsolete = (k % MOD_OBSOLETE[0]) == MOD_OBSOLETE[1]
     return part.select(
@@ -108,6 +108,11 @@ def derive_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``term_dict`` + helper column ``k`` (the source part key)."""
+    return term_dict_from_part(read_part(spark, sf_dir))
+
+
 TERM_DICT_CTE = f"""
 term_dict AS (
   SELECT
@@ -125,10 +130,8 @@ term_dict AS (
 )"""
 
 
-def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``edges(subject, predicate, object)`` — binary-tree DAG with
-    multi-parent extras; obsolete subjects detached."""
-    part = read_part(spark, sf_dir)
+def edges_from_part(part: DataFrame) -> DataFrame:
+    """Mapping half of ``derive_edges``."""
     k = F.col("p_partkey")
     not_obsolete = (k % MOD_OBSOLETE[0]) != MOD_OBSOLETE[1]
     parent2 = F.floor(k / 2).cast("long")
@@ -155,6 +158,12 @@ def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("FIX:"), _ks(parent3)).alias("object"),
     )
     return e1.unionByName(e2)
+
+
+def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``edges(subject, predicate, object)`` — binary-tree DAG with
+    multi-parent extras; obsolete subjects detached."""
+    return edges_from_part(read_part(spark, sf_dir))
 
 
 EDGES_CTE = f"""

@@ -33,6 +33,38 @@ def comention_pairs(mentions: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_dict_bounded(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Union-find for DICTIONARY-BOUNDED graphs: the distinct pair set
+    over ontology terms is bounded by the dictionary size (≤ millions),
+    not the corpus — Spark does the heavy dedup (``pairs`` must already
+    be distinct), the driver runs classic path-compressed union-find on
+    the collected pairs, and the labels broadcast back. This removes
+    O(diameter) driver-loop latency entirely; use the iterative
+    ``connected_components`` when the node set scales with the corpus
+    (e.g. document-dedup graphs)."""
+    spark = nodes.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in ((r["u"], r["v"]) for r in pairs.select("u", "v").collect()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label roots keep parity with the iterative variant
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    node_list = [r["node"] for r in nodes.select("node").collect()]
+    rows = [(n, find(n)) for n in node_list]
+    return spark.createDataFrame(rows, "node string, component string")
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iterations: int = 64
 ) -> DataFrame:

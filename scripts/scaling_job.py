@@ -41,6 +41,7 @@ def main() -> None:
     from ontology_loader_spark.session import get_spark
     from ontology_loader_spark.transcripts.mentions import detect_mentions, top1_links
     from ontology_loader_spark.transcripts.unionfind import (
+        connected_components_dict_bounded,
         comention_pairs,
         connected_components,
     )
@@ -67,12 +68,25 @@ def main() -> None:
     t_start = time.time()
 
     # --- input: replicated transcripts (distinct conv ids per replica)
+    # with realistic turn lengths. Scale lesson encoded here: scatter
+    # the SMALL base first, then explode + enrich inside the partition
+    # — fat text rows are never shuffled.
+    fatness = 8  # non-matching filler blocks per turn (~290 extra chars)
     base = derive.derive_transcripts(spark, sf_dir)
+    filler = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat("conv_id", F.lit(f"#{i}#"), F.col("turn_idx").cast("string")))
+            for i in range(fatness)
+        ],
+    )
     tr = (
-        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+        base.repartition(cpus * 8)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
         .withColumn("conv_id", F.concat("conv_id", F.lit("#"), F.col("rep")))
         .drop("rep")
-    ).repartition(cpus * 4, "conv_id")
+        .withColumn("text", F.concat_ws(" ", "text", filler))
+    )
     # analytic count: the replicated input feeds exactly one consumer
     # (detection) — keeping it lazy avoids storing a corpus-sized block
     n_turns = base.count() * repl
@@ -108,8 +122,10 @@ def main() -> None:
     # --- T2: detection + linking (mentions checkpointed once — it
     # feeds links, co-mention pairs, and the node set)
     mentions = detect_mentions(spark, tr, mention_dict).localCheckpoint(eager=True)
+    stage("detect", t0)
+    t0 = time.time()
     links = top1_links(mentions).localCheckpoint(eager=True)
-    stage("detect+link", t0)
+    stage("link", t0)
 
     # --- T3: canonicalization (redirects + union-find over co-mentions)
     t0 = time.time()
@@ -126,10 +142,14 @@ def main() -> None:
         .withColumn("canon_id", F.coalesce("dst", "term_id"))
         .select("conv_id", "turn_idx", "canon_id")
     )
+    stage("redirect-join", t0)
+    t0 = time.time()
     pairs = comention_pairs(mentions)
     nodes = mentions.select(F.col("term_id").alias("node")).distinct()
-    comps = connected_components(nodes, pairs)
-    stage("canonicalize+closure", t0)
+    # dict-bounded graph -> Spark dedups, driver union-finds (no
+    # O(diameter) driver-loop latency)
+    comps = connected_components_dict_bounded(nodes, pairs)
+    stage("unionfind", t0)
 
     # --- T5: assertion emission + distinct merge
     t0 = time.time()
