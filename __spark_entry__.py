@@ -269,6 +269,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
 def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.events import sessionize
 
@@ -334,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "event_sessionization": q_event_sessionization,
         "event_window_stats": q_event_window_stats,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "token_stats": q_token_stats,
     }
 
 
@@ -368,4 +382,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal.decode_metadata_sql(),
         "event_sessionization": _events.sessionize_sql(),
         "event_window_stats": _events.tumbling_window_stats_sql(),
+        "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),
+        "token_stats": _text.token_stats_sql(),
     }

@@ -63,6 +63,15 @@ def main() -> None:
         "mention_detection",
         "entity_linking_top1",
         "union_find",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "embedding_near_dups",
+        "text_quality",
+        "winnowing_fingerprints",
+        "event_sessionization",
+        "multimodal_decode",
     ]
 
     timings: dict[str, float] = {}

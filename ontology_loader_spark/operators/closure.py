@@ -92,7 +92,7 @@ def ancestor_closure(
     ontology: str,
     predicates: tuple[str, ...] = DEFAULT_PREDICATES,
     max_iterations: int = 64,
-    strategy: str = "frontier",
+    strategy: str = "doubling",
 ) -> DataFrame:
     """J2+J3 — reflexive transitive closure triples.
 

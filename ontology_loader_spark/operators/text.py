@@ -84,6 +84,99 @@ FROM q"""
     )
 
 
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # winnowing window (min over W consecutive k-gram hashes)
+
+
+def winnowing_fingerprints(documents: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al.): hash every char k-gram, keep the minimum hash of each
+    w-window of consecutive positions, emit the distinct kept hashes.
+    Robust to insertions/shifts — the near-dup key exact hashing
+    misses.
+
+    Spark-first: positions come from ``sequence``+``explode`` (no UDF),
+    the k-gram hash is the shared instr-parsed md5 prefix, and the
+    window minimum is a bounded ROWS window per doc ordered by
+    position. At corpus scale the explode fans out |text| rows per doc
+    — partition count scales with input splits; the per-doc window
+    needs only a (doc_id, pos) sort within partitions.
+    """
+    from ontology_loader_spark.operators.dedup import _hex4_spark
+    from pyspark.sql import Window
+
+    grams = (
+        documents.select(
+            "doc_id",
+            F.lower("text").alias("t"),
+        )
+        .filter(F.length("t") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1))
+            ).alias("pos"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            _hex4_spark(F.md5(F.expr(f"substr(t, pos, {WINNOW_K})"))).alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnowing_fingerprints_sql() -> str:
+    from ontology_loader_spark.operators.dedup import _hex4_sql
+
+    h = _hex4_sql(f"md5(substr(t, pos, {WINNOW_K}))")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, pos, {h} AS h
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(range(1, length(text) - {WINNOW_K - 1} + 1)) AS pos
+    FROM documents WHERE length(text) >= {WINNOW_K}
+  )
+)
+SELECT DISTINCT doc_id,
+  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+  AS fingerprint
+FROM grams"""
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alnum runs + single punctuation marks) — the pre-tokenization
+    count a training pipeline budgets by."""
+    return documents.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+        .alias("n_ws_tokens"),
+        F.expr("regexp_count(text, '[a-z0-9]+')").cast("long")
+        .alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def token_stats_sql() -> str:
+    return """
+SELECT doc_id,
+  CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+    AS n_word_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Two fingerprints per doc: content digest (md5 of raw text) and
     an order-insensitive bag fingerprint (md5 of the sorted distinct

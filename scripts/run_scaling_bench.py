@@ -5,7 +5,8 @@ efficiency (throughput@4N / throughput@N) / 4, and write
 BENCH/BASELINE.md.
 
 Usage: python scripts/run_scaling_bench.py [n_cores] [sf_dir] [repl]
-(defaults: 2, /root/testdata/sf0.1, 16 → compares local[2] vs local[8])
+(defaults: 1, /root/testdata/sf0.1, 16 → compares local[1] vs local[4],
+both CPU-pinned with taskset)
 """
 
 from __future__ import annotations
@@ -20,8 +21,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_level(cpus: int, sf_dir: str, repl: int) -> dict:
+    """One parallelism level, CPU-pinned: ``taskset`` confines the
+    whole process (JVM + Python workers) to exactly ``cpus`` cores —
+    without pinning, JVM background threads spill onto idle cores and
+    inflate the low-parallelism baseline (local-mode artifact; real
+    executors are per-machine)."""
     out = subprocess.run(
-        [sys.executable, str(REPO / "scripts/scaling_job.py"),
+        ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0",
+         sys.executable, str(REPO / "scripts/scaling_job.py"),
          str(cpus), sf_dir, str(repl)],
         capture_output=True, text=True, check=True,
     )
@@ -29,7 +36,7 @@ def run_level(cpus: int, sf_dir: str, repl: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repl = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     n4 = n * 4
