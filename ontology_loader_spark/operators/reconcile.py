@@ -217,7 +217,16 @@ def reconcile(
     # delete, so incoming relations referencing obsolete terms are
     # re-inserted (Q5 delete-then-reinsert end-state).
     valid = valid_relations(incoming_relations)
-    invalid_count = incoming_relations.count() - valid.count()
+    # F2 side-output in ONE pass (separate counts would re-derive the
+    # whole closure bag twice)
+    valid_cond = F.lit(True)
+    for c in ("subject", "predicate", "object"):
+        valid_cond = valid_cond & F.col(c).isNotNull() & (F.col(c) != "")
+    stats = incoming_relations.agg(
+        F.count("*").alias("n"),
+        F.sum(valid_cond.cast("int")).alias("n_valid"),
+    ).first()
+    invalid_count = int((stats["n"] or 0) - (stats["n_valid"] or 0))
     new_relation_state = apply_relation_upserts(relations_after_delete, valid)
     relation_report = valid.select("subject", "predicate", "object")
 

@@ -57,7 +57,9 @@ def extract(
     classes = build_ontology_classes(term_dict, edges, ontology, predicates)
     direct = direct_relations(edges, relevant, predicates)
     closure = ancestor_closure(edges, relevant, ontology, predicates)
-    bag = union_relations(direct, closure)
+    # the bag feeds five consumers (distinct set, A1 arrays, F2 stats,
+    # M3 upsert, relation report) — materialize once
+    bag = union_relations(direct, closure).localCheckpoint(eager=True)
     dset = distinct_relations(bag)
     classes_with_rel = attach_relations(classes, bag)
     return ExtractionResult(
@@ -183,14 +185,19 @@ def transcript_assertions(
     from ontology_loader_spark.transcripts.mentions import detect_mentions, top1_links
     from ontology_loader_spark.transcripts.unionfind import (
         comention_pairs,
-        connected_components,
+        connected_components_dict_bounded,
     )
 
-    mentions = detect_mentions(spark, transcripts, mention_dict)
+    mentions = detect_mentions(spark, transcripts, mention_dict).localCheckpoint(
+        eager=True
+    )
     links = top1_links(mentions)
     pairs = comention_pairs(mentions)
     nodes = mentions.select(F.col("term_id").alias("node")).distinct()
-    components = connected_components(nodes, pairs)
+    # co-mention components are dictionary-bounded: Spark dedups the
+    # pair set, the driver union-finds (see unionfind.py for when the
+    # iterative variant is required instead)
+    components = connected_components_dict_bounded(nodes, pairs)
 
     # obsolete mentions redirect to their live replacement before
     # assertion emission
