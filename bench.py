@@ -49,6 +49,10 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/session once so the first timed query doesn't carry
+    # executor+codegen init
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/part.parquet").count()
 
     sf_label = sf_dir.rstrip("/").split("sf")[-1]
 
