@@ -137,7 +137,11 @@ def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataF
     single ``MERGE INTO`` (SURVEY.md §2.1 M2).
     """
     inc = incoming.alias("inc")
-    st = _one_doc_per_id(class_state).alias("st")
+    # class sets are dictionary-bounded (≤ millions of rows at any
+    # corpus scale) — broadcast the state side so the CDC join never
+    # sort-merges; post-aggregation stats would otherwise hide this
+    # from the planner
+    st = F.broadcast(_one_doc_per_id(class_state)).alias("st")
     joined = inc.join(st, F.col("inc.id") == F.col("st.id"), "left")
     return joined.select(
         *[F.col(f"inc.{c}").alias(c) for c in incoming.columns],
