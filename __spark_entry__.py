@@ -149,10 +149,13 @@ def q_obsolete_relation_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_relation_upsert_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = derive.derive_term_dict(spark, sf_dir)
     ed = derive.derive_edges(spark, sf_dir)
+    rel = relevant_entities(td, ONT).localCheckpoint(eager=True)
     incoming_classes = build_ontology_classes(td, ed, ONT)
-    prior_rel = direct_relations(ed, relevant_entities(td, ONT))
-    after_delete = delete_obsolete_relations(prior_rel, obsolete_ids(incoming_classes))
-    incoming = _relations_set(spark, sf_dir)
+    direct = direct_relations(ed, rel).localCheckpoint(eager=True)
+    after_delete = delete_obsolete_relations(direct, obsolete_ids(incoming_classes))
+    incoming = distinct_relations(
+        union_relations(direct, ancestor_closure(ed, rel, ONT))
+    )
     return apply_relation_upserts(after_delete, incoming).select(
         "subject", "predicate", "object"
     )
