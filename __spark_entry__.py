@@ -248,6 +248,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.similarity import embedding_near_dups
 
@@ -342,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -378,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup.simhash_sql(),
         "ann_cosine_topk": _similarity.brute_force_topk_sql(),
         "ann_lsh_topk": _similarity.lsh_topk_sql(),
+        "ann_ivf_topk": _similarity.ivf_topk_sql(),
         "embedding_near_dups": _similarity.embedding_near_dups_sql(),
         "text_quality": _text.text_quality_sql(),
         "lang_id": _text.lang_id_sql(),

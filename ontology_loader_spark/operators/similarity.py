@@ -191,6 +191,120 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 ) WHERE rank <= {k}"""
 
 
+IVF_CELLS = 8
+IVF_CENTROID_PRED = f"vec_id < {IVF_CELLS}"  # deterministic coarse centroids
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign every vector to the nearest of
+    C deterministic centroids (the first C vectors by id — a stand-in
+    for trained k-means centroids; the assignment/search plumbing is
+    identical). Nearness = max quantized cosine, ties by centroid id.
+    Pure joins + window, no UDF."""
+    vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
+    cents = vecs.filter(F.expr(IVF_CENTROID_PRED)).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "c_cos",
+        _cos(_qdot(F.col("embedding"), F.col("c_emb")),
+             F.col("norm2"), F.col("c_norm2")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                             F.col("cell").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_assign_sql() -> str:
+    dot = _qdot_sql("v.embedding", "c.embedding")
+    return f"""
+WITH {NORM2_CTE.strip()},
+cents AS (SELECT vec_id AS cell, embedding, norm2 FROM vecs
+          WHERE {IVF_CENTROID_PRED}),
+scored AS (
+  SELECT v.vec_id, c.cell,
+    CAST({dot} AS DOUBLE)
+      / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS c_cos
+  FROM vecs v CROSS JOIN cents c
+)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rnk
+  FROM scored
+) WHERE rnk = 1"""
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """IVF-flat ANN: per query, exact search restricted to the query's
+    cell — at corpus scale the cell join replaces the broadcast
+    cross-score; per-cell skew is AQE's skew-join case or a cell-split
+    salt."""
+    vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
+    assign = ivf_assign(embeddings)
+    vc = vecs.join(assign, "vec_id")
+    queries = vc.filter(F.expr(QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("cell"),
+    )
+    scored = (
+        vc.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", _qdot(F.col("q_emb"), F.col("embedding")))
+        .withColumn("cos_sim", _cos(F.col("dot"), F.col("q_norm2"), F.col("norm2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+def ivf_topk_sql(k: int = 3) -> str:
+    dot_c = _qdot_sql("v.embedding", "c.embedding")
+    dot_q = _qdot_sql("q.embedding", "v.embedding")
+    return f"""
+WITH {NORM2_CTE.strip()},
+cents AS (SELECT vec_id AS cell, embedding, norm2 FROM vecs
+          WHERE {IVF_CENTROID_PRED}),
+cscored AS (
+  SELECT v.vec_id, c.cell,
+    CAST({dot_c} AS DOUBLE)
+      / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS c_cos
+  FROM vecs v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rnk
+    FROM cscored
+  ) WHERE rnk = 1
+),
+vc AS (SELECT v.*, a.cell FROM vecs v JOIN assign a USING (vec_id)),
+queries AS (SELECT * FROM vc WHERE {QUERY_PRED}),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    CAST({dot_q} AS DOUBLE)
+      / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(v.norm2 AS DOUBLE)) AS cos_sim
+  FROM queries q JOIN vc v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold, searched
     within LSH buckets (exact within-bucket; the bucket restriction is
