@@ -187,7 +187,14 @@ def _closure_doubling(
             .join(reach.alias("r"), F.col("l.o") == F.col("r.s"))
             .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
         )
-        reach = reach.unionByName(squared).distinct().localCheckpoint(eager=True)
+        # ontology pair tables are dictionary-scale; keep iteration
+        # state on few partitions so each round is a few tasks
+        reach = (
+            reach.unionByName(squared)
+            .distinct()
+            .coalesce(16)
+            .localCheckpoint(eager=True)
+        )
         n2 = reach.count()
         if n2 == n:
             break

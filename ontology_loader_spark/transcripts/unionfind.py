@@ -73,10 +73,13 @@ def connected_components(
     ``nodes``: one column ``node``; ``pairs``: columns ``u, v``
     (symmetric). Returns (node, component).
     """
-    edges = pairs.localCheckpoint(eager=True)
+    # iteration state is small relative to the corpus — keep it on a
+    # handful of partitions so each round is a few tasks, not a full
+    # shuffle-width sweep
+    edges = pairs.coalesce(8).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
-    ).localCheckpoint(eager=True)
+    ).coalesce(8).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
         neighbor = (
@@ -87,6 +90,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .coalesce(8)
             .localCheckpoint(eager=True)
         )
         converged = (
