@@ -161,6 +161,34 @@ def q_relation_upsert_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_class_insert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/Q7 report shape: one row per inserted class, [id] + fields
+    (id duplicated — mongodb_loader.py:81 + reporter.py:58)."""
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    incoming = build_ontology_classes(td, ed, ONT)
+    prior = build_ontology_classes(derive.derive_prior_term_dict(spark, sf_dir), ed, ONT)
+    classified = classify_class_changes(incoming, prior)
+    return classified.filter(F.col("change_kind") == "insert").select(
+        F.col("id"),
+        F.col("id").alias("f_id"),
+        F.col("type").alias("f_type"),
+        F.array_join("alternative_names", ",").alias("f_alt_names"),
+        F.col("definition").alias("f_definition"),
+        F.col("is_root").alias("f_is_root"),
+        F.col("is_obsolete").alias("f_is_obsolete"),
+        F.col("name").alias("f_name"),
+    )
+
+
+def q_conversation_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 invariant in the gate: per-conversation text reassembled in
+    stable turn order equals the oracle's ordered aggregation."""
+    from ontology_loader_spark.transcripts.ordering import reassembled
+
+    return reassembled(derive.derive_transcripts(spark, sf_dir))
+
+
 def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = derive.derive_term_dict(spark, sf_dir)
     return redirect_map(td).select("src", "dst")
@@ -337,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obsolete_relation_delete": q_obsolete_relation_delete,
         "relation_upsert_end_state": q_relation_upsert_end_state,
         "redirect_map": q_redirect_map,
+        "class_insert_report": q_class_insert_report,
+        "conversation_reassembly": q_conversation_reassembly,
         "transcript_ordering": q_transcript_ordering,
         "mention_detection": q_mention_detection,
         "entity_linking_top1": q_entity_linking_top1,
@@ -374,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "obsolete_relation_delete": oracle.q_obsolete_relation_delete(),
         "relation_upsert_end_state": oracle.q_relation_upsert_end_state(),
         "redirect_map": oracle.q_redirect_map(),
+        "class_insert_report": oracle.q_class_insert_report(),
+        "conversation_reassembly": oracle.q_conversation_reassembly(),
         "transcript_ordering": oracle.q_transcript_ordering(),
         "mention_detection": oracle.q_mention_detection(),
         "entity_linking_top1": oracle.q_entity_linking_top1(),

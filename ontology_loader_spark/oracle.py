@@ -235,6 +235,32 @@ SELECT subject, predicate, object FROM (
     )
 
 
+def q_class_insert_report() -> str:
+    """K1/Q7: insert-report rows, id duplicated as the first field."""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, CLASSES_CTE, PRIOR_CLASSES_CTE,
+        body="""
+SELECT c.id AS id, c.id AS f_id, c.type AS f_type,
+       c.alt_names_str AS f_alt_names, c.definition AS f_definition,
+       c.is_root AS f_is_root, c.is_obsolete AS f_is_obsolete,
+       c.name AS f_name
+FROM classes c LEFT JOIN prior_classes p ON c.id = p.id
+WHERE p.id IS NULL""",
+    )
+
+
+def q_conversation_reassembly() -> str:
+    """T1 invariant: ordered per-conversation reassembly."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx, text) AS conv_text,
+       CAST(COUNT(*) AS INTEGER) AS n_turns
+FROM transcripts GROUP BY conv_id""",
+    )
+
+
 def q_transcript_ordering() -> str:
     """T1 oracle: stable per-conversation ordering — row_number over
     (conv_id, turn_idx) must equal turn_idx + 1 for every turn (the
