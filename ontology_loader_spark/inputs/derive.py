@@ -20,7 +20,11 @@ The derived shapes mirror FIXTURES.md:
 - ``edges(subject, predicate, object)`` from ``part`` — a binary-tree
   DAG (child k → parent floor(k/2)) with extra multi-parent edges
   (k → floor(k/3)), ignored predicates (``rdfs:seeAlso``), foreign
-  objects (quirk Q2), and obsolete subjects detached (quirk Q1/Q6).
+  objects (quirk Q2), and obsolete subjects detached. Obsolete terms
+  are outside the closure domain entirely (quirk Q6: oaklib
+  ``entities()`` defaults ``filter_obsoletes=True``) but can still be
+  edge OBJECTS (floor(k/2) may hit an obsolete key), which keeps the
+  M1 obsolete-relation purge exercised.
 - ``transcripts(conv_id, turn_idx, role, text, tool, ts)`` from
   ``lineitem ⋈ part`` — text embeds the term surface form of the
   line's part, so mention detection has known ground truth.

@@ -3,8 +3,12 @@ ancestor closure.
 
 Reference semantics (``ontology_processor.py:152-211``):
 
-- Relevant entities = **all** entities (obsoletes included — quirk Q6,
-  ``:168``) passing the F1 ontology filter.
+- Relevant entities = ``adapter.entities()`` (``:168``) passing the F1
+  ontology filter. oaklib's ``BasicOntologyInterface.entities`` defaults
+  ``filter_obsoletes=True``, so the closure domain **excludes obsolete
+  terms** (quirk Q6): obsolete classes get no reflexive closure row and
+  no relations, even though they appear in the class set via
+  ``adapter.obsoletes()`` (``:141``).
 - J1 direct edges (``:174-181``): keep edges whose *subject* is
   relevant AND predicate ∈ {rdfs:subClassOf, BFO:0000050}; the object
   is NOT filtered (quirk Q2).
@@ -40,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ontology_loader_spark.operators.curie import matches_ontology
+from ontology_loader_spark.partitioning import state_partitions
 from ontology_loader_spark.schemas import (
     CLOSURE_PREDICATE,
     DEFAULT_PREDICATES,
@@ -48,9 +53,18 @@ from ontology_loader_spark.schemas import (
 
 
 def relevant_entities(term_dict: DataFrame, ontology: str) -> DataFrame:
-    """Q6 — the closure domain: every term id (obsoletes INCLUDED,
-    ``ontology_processor.py:168``) passing F1."""
-    return term_dict.select("id").filter(matches_ontology(F.col("id"), ontology))
+    """Q6 — the closure domain: non-obsolete term ids passing F1.
+
+    ``adapter.entities()`` at ``ontology_processor.py:168`` inherits
+    oaklib's ``filter_obsoletes=True`` default, so obsolete terms are
+    NOT part of the closure domain (they surface only in the class set
+    through ``adapter.obsoletes()``). Both filters are plain Catalyst
+    predicates — pushed to the term-dictionary scan."""
+    return (
+        term_dict.filter(~F.coalesce(F.col("is_obsolete"), F.lit(False)))
+        .select("id")
+        .filter(matches_ontology(F.col("id"), ontology))
+    )
 
 
 def select_hierarchy_edges(
@@ -99,7 +113,8 @@ def ancestor_closure(
     Returns ``(subject, 'entailed_isa_partof_closure', object, type)``
     distinct per (subject, object), reproducing quirks Q1 (reflexive),
     Q2 (only the emitted ancestor is F1-filtered; traversal passes
-    through foreign nodes), Q6 (domain includes obsoletes).
+    through foreign nodes), Q6 (domain excludes obsoletes — oaklib
+    ``entities()`` default).
 
     Equivalent SQL (Spark 4 / DuckDB)::
 
@@ -116,10 +131,10 @@ def ancestor_closure(
 
     ``strategy``:
 
-    - ``"frontier"`` (default): semi-naive BFS — O(depth) iterations,
-      minimal per-iteration intermediates. Best when depth is small or
+    - ``"frontier"``: semi-naive BFS — O(depth) iterations, minimal
+      per-iteration intermediates. Best when depth is small or
       per-iteration data is large.
-    - ``"doubling"``: path-doubling (repeated squaring of the
+    - ``"doubling"`` (default): path-doubling (repeated squaring of the
       reachability relation) — O(log2 depth) iterations at the cost of
       denser intermediates. Best when driver-side iteration overhead
       dominates (deep hierarchies, many small jobs) — this is the
@@ -178,6 +193,7 @@ def _closure_doubling(
     """Path-doubling reachability: square the pair relation until the
     fixpoint — reach(k+1) = reach(k) ∪ (reach(k) ⋈ reach(k)); pair
     count is the convergence test (one action per iteration)."""
+    spark = hedges.sparkSession
     reach = hedges.select(F.col("subject").alias("s"), F.col("object").alias("o"))
     reach = reach.localCheckpoint(eager=True)
     n = reach.count()
@@ -187,12 +203,13 @@ def _closure_doubling(
             .join(reach.alias("r"), F.col("l.o") == F.col("r.s"))
             .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
         )
-        # ontology pair tables are dictionary-scale; keep iteration
-        # state on few partitions so each round is a few tasks
+        # iteration-state width follows the observed pair count:
+        # dictionary-scale graphs stay on a few tasks per round,
+        # corpus-scale graphs fan out up to the session shuffle width
         reach = (
             reach.unionByName(squared)
             .distinct()
-            .coalesce(16)
+            .coalesce(state_partitions(spark, n * 2))
             .localCheckpoint(eager=True)
         )
         n2 = reach.count()

@@ -9,12 +9,18 @@ Scale design:
 
 - exact dedup: one hash-groupBy on md5(text) — shuffle keyed on the
   digest (uniform), map-side combine, no skew.
-- MinHash+LSH: tokens exploded once, K=8 signatures computed in a
-  single hash aggregation (min of md5(seed:token) per doc), banded
-  4×2; candidate pairs come from a self-join on band keys —
-  at 100 TB the band join is the only quadratic-ish step and its
-  blow-up is bounded by bucket size (hot buckets → salt or cap with
-  a count filter, exposed via ``max_bucket``).
+- MinHash+LSH: 3-token shingles exploded once (unigrams are useless
+  on small-vocabulary corpora — every doc shares most of the
+  vocabulary, so unigram-set jaccard is near 1 between NON-duplicates;
+  shingles restore selectivity), K=8 signatures computed in a single
+  hash aggregation (min of md5(seed:shingle) per doc), banded 2 rows
+  × 4 bands (candidate threshold ≈ (1/4)^(1/2) = 0.5 shingle
+  jaccard); candidate pairs come from a self-join on band keys. At
+  100 TB the band join is the only quadratic-ish step and its blow-up
+  is bounded by ``max_bucket``: buckets holding more than that many
+  docs are dropped before the self-join (boilerplate/degenerate keys
+  — exact dedup already collapses identical docs, so a giant LSH
+  bucket carries no near-dup signal worth O(bucket²) pairs).
 - SimHash: 16-bit signature via per-bit vote sums — one groupBy with
   16 conditional aggregates, fully codegen'd, no UDF.
 - n-gram Jaccard: exact verification on LSH candidates only (never
@@ -27,11 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_K = 8
-# 2 bands x 4 rows: band collision probability = jaccard^4 — selective
-# enough that candidate sets stay sub-quadratic even on corpora with a
-# small shared vocabulary (high baseline jaccard).
-BANDS = 2
-ROWS_PER_BAND = 4
+# 4 bands x 2 rows over SHINGLES: collision threshold ≈ (1/4)^(1/2)
+# = 0.5 shingle-jaccard. Selectivity comes from the shingle unit (a
+# 3-token shingle universe is ~|vocab|³), not from deep bands.
+BANDS = 4
+ROWS_PER_BAND = 2
+SHINGLE_N = 3
+# LSH buckets holding more than this many docs are dropped before the
+# pair self-join — the promised hot-bucket cap. A bucket of B docs
+# emits B(B-1)/2 pairs; past this size the bucket is boilerplate (or a
+# degenerate band key) and contributes quadratic cost, not signal.
+MAX_BUCKET = 64
 SIMHASH_BITS = 16
 
 
@@ -50,6 +62,42 @@ doc_tokens AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
   ) WHERE tok <> ''
+)"""
+
+
+def doc_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """``n``-token shingles per doc (space-joined), position-exploded —
+    no UDF: token array once, then ``sequence``+``explode`` over start
+    positions and an in-partition ``slice``. Explode fan-out is
+    ~|tokens| rows per doc, the same scale the tokenizer already pays."""
+    ts = F.expr("filter(split(lower(text), ' '), t -> t <> '')")
+    return (
+        documents.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (n - 1))).alias("pos"),
+            F.col("ts"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(ts, pos, {n}), ' ')").alias("shingle"),
+        )
+    )
+
+
+DOC_SHINGLES_CTE = f"""
+doc_shingles AS (
+  SELECT doc_id, array_to_string(ts[pos:pos + {SHINGLE_N - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ts,
+           unnest(range(1, len(ts) - {SHINGLE_N - 1} + 1)) AS pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ) WHERE len(ts) >= {SHINGLE_N}
+  )
 )"""
 
 
@@ -72,24 +120,24 @@ FROM hashed h JOIN groups g USING (digest)"""
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """K md5-minhashes per doc: mh_i = min(md5('<i>:' || tok))."""
-    toks = doc_tokens(documents)
+    """K md5-minhashes per doc: mh_i = min(md5('<i>:' || shingle))."""
+    sh = doc_shingles(documents)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(MINHASH_K)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig_sql() -> str:
     cols = ",\n    ".join(
-        f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(MINHASH_K)
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(MINHASH_K)
     )
     return f"""
 minhash_sig AS (
   SELECT doc_id,
     {cols}
-  FROM doc_tokens GROUP BY doc_id
+  FROM doc_shingles GROUP BY doc_id
 )"""
 
 
@@ -123,11 +171,28 @@ def _minhash_bands_sql() -> str:
     return "\nbands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
 
 
-def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one LSH band bucket."""
+def minhash_candidate_pairs(
+    documents: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one LSH band bucket no
+    larger than ``max_bucket``.
+
+    The cap is the 100 TB guard: a hot bucket (boilerplate text, a
+    degenerate band key) of B docs would emit B(B-1)/2 pairs; counting
+    per (band, band_key) first and dropping oversize buckets bounds the
+    self-join output at ``|buckets| × max_bucket²`` regardless of skew.
+    The count is one map-side-combinable aggregation over the band
+    rows; the window-free two-phase shape keeps it a plain groupBy."""
     bands = minhash_bands(documents)
-    left = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
-    right = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
+    ok_buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    capped = bands.join(ok_buckets, ["band", "band_key"], "left_semi")
+    left = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
+    right = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
     return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
@@ -136,26 +201,37 @@ def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates_sql() -> str:
+def minhash_candidates_sql(max_bucket: int = MAX_BUCKET) -> str:
     return (
-        "WITH " + DOC_TOKENS_CTE.strip() + "," + _minhash_sig_sql().strip() + ","
+        "WITH " + DOC_SHINGLES_CTE.strip() + "," + _minhash_sig_sql().strip() + ","
         + _minhash_bands_sql().strip()
-        + """
+        + f""",
+ok_buckets AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING COUNT(*) <= {max_bucket}
+),
+capped AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN ok_buckets o
+    ON b.band = o.band AND b.band_key = o.band_key
+)
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id"""
     )
 
 
 def ngram_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs: |∩| / |∪| (double
-    division of exact integers — bit-identical across engines)."""
-    tokset = doc_tokens(documents).distinct()
+    """Exact shingle-set Jaccard for candidate pairs: |∩| / |∪| (double
+    division of exact integers — bit-identical across engines). The
+    verification unit matches the MinHash estimate's unit (shingles),
+    so the LSH threshold and the verify threshold are commensurate."""
+    tokset = doc_shingles(documents).distinct()
     sizes = tokset.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tokset.select(F.col("doc_id").alias("a"), "tok")
-    tb = tokset.select(F.col("doc_id").alias("b"), "tok")
+    ta = tokset.select(F.col("doc_id").alias("a"), "shingle")
+    tb = tokset.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
-        pairs.join(ta, "a").join(tb, ["b", "tok"])
+        pairs.join(ta, "a").join(tb, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -185,13 +261,13 @@ def ngram_jaccard_sql() -> str:
             "WHERE l.doc_id < r.doc_id),",
         )
         + """
-tokset AS (SELECT DISTINCT doc_id, tok FROM doc_tokens),
+tokset AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokset GROUP BY doc_id),
 inter AS (
   SELECT p.a, p.b, COUNT(*) AS n_inter
   FROM pairs p
   JOIN tokset ta ON ta.doc_id = p.a
-  JOIN tokset tb ON tb.doc_id = p.b AND tb.tok = ta.tok
+  JOIN tokset tb ON tb.doc_id = p.b AND tb.shingle = ta.shingle
   GROUP BY p.a, p.b
 )
 SELECT p.a AS a, p.b AS b,

@@ -25,7 +25,8 @@ PREDICATES_SQL = "('rdfs:subClassOf', 'BFO:0000050')"
 
 RELEVANT_CTE = f"""
 relevant AS (
-  SELECT id FROM term_dict WHERE {F1_ID}
+  SELECT id FROM term_dict
+  WHERE {F1_ID} AND NOT COALESCE(is_obsolete, FALSE)
 )"""
 
 HEDGES_CTE = f"""
@@ -35,8 +36,9 @@ hedges AS (
 )"""
 
 # Reflexive transitive closure (quirks Q1/Q2/Q6):
-# seed = relevant ids (obsoletes included), traversal through any node,
-# emitted ancestor F1-filtered in closure_rel below.
+# seed = relevant ids (obsoletes EXCLUDED — oaklib entities() default
+# filter_obsoletes=True), traversal through any node, emitted ancestor
+# F1-filtered in closure_rel below.
 REACH_CTE = """
 reach(s, o) AS (
   SELECT id AS s, id AS o FROM relevant

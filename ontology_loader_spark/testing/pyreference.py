@@ -2,7 +2,9 @@
 semantics (``ontology_processor.py``) — the P/R oracle (SURVEY.md §5.1).
 
 Deliberately written row-at-a-time like the reference, sharing no code
-with the Spark operators. Reproduces quirks Q1/Q2/Q3/Q6/Q10.
+with the Spark operators. Reproduces quirks Q1/Q2/Q3/Q6/Q10 (Q6: the
+closure domain excludes obsoletes — oaklib ``entities()`` defaults
+``filter_obsoletes=True``).
 """
 
 from __future__ import annotations
@@ -44,7 +46,11 @@ def reference_extraction(terms, edges, ontology,
             "name": name or "",
         }
 
-    relevant = {t[0] for t in term_rows if matches(t[0], ontology)}  # Q6
+    # Q6: adapter.entities() default filter_obsoletes=True — the
+    # closure domain excludes obsolete terms
+    relevant = {
+        t[0] for t in term_rows if matches(t[0], ontology) and not t[4]
+    }
     direct = [(s, p, o) for s, p, o in hier if s in relevant]
 
     adj: dict[str, set[str]] = {}

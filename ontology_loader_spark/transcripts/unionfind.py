@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ontology_loader_spark.partitioning import state_partitions
+
 
 def comention_pairs(mentions: DataFrame) -> DataFrame:
     """Distinct directed pairs (u, v), both directions, of terms
@@ -73,13 +75,17 @@ def connected_components(
     ``nodes``: one column ``node``; ``pairs``: columns ``u, v``
     (symmetric). Returns (node, component).
     """
-    # iteration state is small relative to the corpus — keep it on a
-    # handful of partitions so each round is a few tasks, not a full
-    # shuffle-width sweep
-    edges = pairs.coalesce(8).localCheckpoint(eager=True)
+    # iteration-state width follows the observed graph size: a
+    # dictionary-bounded co-mention graph runs a few tasks per round; a
+    # corpus-scale dedup graph fans out to the session shuffle width
+    # (the use case this variant exists for)
+    spark = nodes.sparkSession
+    edges = pairs.localCheckpoint(eager=True)
+    p = state_partitions(spark, edges.count())
+    edges = edges.coalesce(p)
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
-    ).coalesce(8).localCheckpoint(eager=True)
+    ).coalesce(p).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
         neighbor = (
@@ -90,7 +96,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .coalesce(8)
+            .coalesce(p)
             .localCheckpoint(eager=True)
         )
         converged = (

@@ -6,7 +6,8 @@ inside the test; exact equality required (P=R=1.0 at fixture scale).
 The fixture exercises every parity quirk: Q1 reflexive closure, Q2
 filter asymmetry (foreign objects kept in direct edges, foreign
 ancestors dropped from closure, traversal THROUGH foreign nodes), Q3
-literal vocabulary, Q6 obsoletes in the closure domain, Q10 null
+literal vocabulary, Q6 obsoletes excluded from the closure domain
+(oaklib ``entities()`` default ``filter_obsoletes=True``), Q10 null
 coercion.
 """
 
@@ -78,7 +79,9 @@ def pure_python_reference(terms, edges, ontology, predicates=DEFAULT_PREDICATES)
             "name": name or "",
         }
 
-    relevant = {t[0] for t in terms if matches(t[0])}  # Q6: obsoletes included
+    # Q6: oaklib entities() default filter_obsoletes=True — obsoletes
+    # are NOT in the closure domain
+    relevant = {t[0] for t in terms if matches(t[0]) and not t[4]}
     direct = [(s, p, o) for s, p, o in hier if s in relevant]
 
     adj = {}
@@ -149,8 +152,10 @@ def test_closure_exact(spark, fixture_dfs):
     }
     _, _, want = pure_python_reference(TERMS, EDGES, ONT)
     assert got == want
-    # Q1: reflexive self-triples, including the detached obsolete term (Q6)
-    assert ("ENVO:5", "entailed_isa_partof_closure", "ENVO:5") in got
+    # Q1: reflexive self-triples for live terms; Q6: the obsolete term
+    # is OUTSIDE the closure domain — no reflexive row for it
+    assert ("ENVO:1", "entailed_isa_partof_closure", "ENVO:1") in got
+    assert ("ENVO:5", "entailed_isa_partof_closure", "ENVO:5") not in got
     # Q2 traversal through foreign node: 8 reaches 2 and 1 via OTHER:7,
     # but OTHER:7 itself is not emitted
     assert ("ENVO:8", "entailed_isa_partof_closure", "ENVO:1") in got

@@ -44,3 +44,39 @@ def test_hub_term_skew(spark):
     # the hot key must not break top-1 linking either
     links = top1_links(mentions)
     assert links.count() == n  # every turn has exactly one mention
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Skewed corpus: a boilerplate cluster of identical docs lands in
+    one LSH bucket per band. Without the cap that bucket alone emits
+    B(B-1)/2 pairs; with it, candidate output is bounded by
+    bands × max_bucket² regardless of skew (the 100 TB guard)."""
+    from ontology_loader_spark.operators.dedup import (
+        BANDS,
+        minhash_bands,
+        minhash_candidate_pairs,
+    )
+
+    n_boiler, n_live = 200, 40
+    rows = [(f"b{i:04d}", "the same boilerplate text repeated again and again "
+             "for every scraped page footer in the corpus")
+            for i in range(n_boiler)]
+    rows += [(f"d{i:04d}",
+              " ".join(f"tok{(i * 7 + j * 13) % 997}" for j in range(30)))
+             for i in range(n_live)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+
+    cap = 16
+    pairs = minhash_candidate_pairs(docs, max_bucket=cap)
+    n_pairs = pairs.count()
+    # bound holds even under total skew
+    max_buckets = minhash_bands(docs).select("band", "band_key").distinct().count()
+    assert n_pairs <= max_buckets * cap * (cap - 1) // 2
+    # the boilerplate cluster (bucket size 200 > cap) is dropped entirely
+    assert pairs.filter(F.col("a").startswith("b") | F.col("b").startswith("b")).count() == 0
+
+    # uncapped, the same corpus explodes quadratically — the cap cuts
+    # candidates by orders of magnitude
+    uncapped = minhash_candidate_pairs(docs, max_bucket=10**9).count()
+    assert uncapped >= n_boiler * (n_boiler - 1) // 2
+    assert n_pairs < uncapped / 100
