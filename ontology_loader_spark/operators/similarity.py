@@ -29,6 +29,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 10000
+# Sign-LSH bucket bits. 2^LSH_DIMS buckets; at corpus scale pick
+# dims ≈ log2(N / target_bucket_size) so buckets stay O(constant) —
+# every entry point below takes ``dims`` as a parameter for that.
 LSH_DIMS = 4
 
 
@@ -112,40 +115,50 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 ) WHERE rank <= {k}"""
 
 
-def lsh_bucket(col: Column) -> Column:
-    """Deterministic sign-LSH bucket over the first LSH_DIMS dims."""
+def lsh_bucket(col: Column, dims: int = LSH_DIMS) -> Column:
+    """Deterministic sign-LSH bucket over the first ``dims`` dims —
+    2^dims buckets. Scale rule: dims ≈ log2(N / target_bucket_size)
+    keeps per-bucket work constant as the corpus grows."""
     b = F.lit(0)
-    for d in range(LSH_DIMS):
+    for d in range(dims):
         b = b + F.when(F.element_at(col, d + 1) >= 0, F.lit(2 ** d)).otherwise(F.lit(0))
     return b.cast("int")
 
 
-def lsh_bucket_sql(col: str) -> str:
+def lsh_bucket_sql(col: str, dims: int = LSH_DIMS) -> str:
     parts = " + ".join(
         f"(CASE WHEN {col}[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)"
-        for d in range(LSH_DIMS)
+        for d in range(dims)
     )
     return f"CAST({parts} AS INTEGER)"
 
 
-def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+def lsh_buckets(embeddings: DataFrame, dims: int = LSH_DIMS) -> DataFrame:
     return embeddings.select(
-        "vec_id", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", lsh_bucket(F.col("embedding"), dims).alias("bucket")
     )
 
 
-def lsh_buckets_sql() -> str:
+def lsh_buckets_sql(dims: int = LSH_DIMS) -> str:
     return (
-        f"SELECT vec_id, {lsh_bucket_sql('embedding')} AS bucket FROM embeddings"
+        f"SELECT vec_id, {lsh_bucket_sql('embedding', dims)} AS bucket FROM embeddings"
     )
 
 
-def lsh_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    dims: int = LSH_DIMS,
+    broadcast_queries: bool = True,
+) -> DataFrame:
     """ANN variant: cosine top-k per query restricted to the query's
     LSH bucket — the 100 TB path (bucket join instead of broadcast
-    cross-score)."""
+    cross-score). ``broadcast_queries=False`` switches the query side
+    to a shuffle hash join on ``bucket`` for query sets too large to
+    broadcast (both sides re-partition on the bucket key; per-bucket
+    skew is AQE's skew-join case)."""
     vecs = with_norm2(embeddings).withColumn(
-        "bucket", lsh_bucket(F.col("embedding"))
+        "bucket", lsh_bucket(F.col("embedding"), dims)
     )
     queries = vecs.filter(F.expr(QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"),
@@ -153,8 +166,10 @@ def lsh_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
         F.col("norm2").alias("q_norm2"),
         F.col("bucket"),
     )
+    if broadcast_queries:
+        queries = F.broadcast(queries)
     scored = (
-        vecs.join(F.broadcast(queries), "bucket")
+        vecs.join(queries, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", _qdot(F.col("q_emb"), F.col("embedding")))
         .withColumn("cos_sim", _cos(F.col("dot"), F.col("q_norm2"), F.col("norm2")))
@@ -191,26 +206,157 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 ) WHERE rank <= {k}"""
 
 
-IVF_CELLS = 8
-IVF_CENTROID_PRED = f"vec_id < {IVF_CELLS}"  # deterministic coarse centroids
+IVF_CELLS = 8       # at corpus scale: ≈ sqrt(N) cells, cells ≈ constant size
+IVF_ITERS = 2       # Lloyd refinement rounds (fixed count — deterministic)
+IVF_PROBES = 3      # multi-probe: query searches its top-P nearest cells
 
 
-def ivf_assign(embeddings: DataFrame) -> DataFrame:
-    """IVF coarse quantization: assign every vector to the nearest of
-    C deterministic centroids (the first C vectors by id — a stand-in
-    for trained k-means centroids; the assignment/search plumbing is
-    identical). Nearness = max quantized cosine, ties by centroid id.
-    Pure joins + window, no UDF."""
-    vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
-    cents = vecs.filter(F.expr(IVF_CENTROID_PRED)).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_norm2"),
+def _quantize(col: Column) -> Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
     )
+
+
+_QUANTIZE_SQL = (
+    f"list_transform(embedding, "
+    f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two already-quantized long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> x[1] * x[2])) AS BIGINT)"
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame, cells: int = IVF_CELLS, iters: int = IVF_ITERS
+) -> DataFrame:
+    """Trained IVF coarse centroids via Lloyd's k-means — pure
+    DataFrame iterations, no UDF, and **order-independent arithmetic**
+    so the unrolled SQL oracle reproduces every round bit-for-bit:
+
+    - vectors are floor-quantized to integers once;
+    - the assignment metric is cosine, computed from exact integer
+      dots (doubles only at the final divide — IEEE-identical across
+      engines);
+    - the update step re-quantizes each centroid as the
+      component-wise ``floor(sum/count)`` of its members — integer
+      sums are associative, so partial aggregation (map-side combine)
+      cannot change the result, unlike a float mean.
+
+    Init = the first ``cells`` vectors by id (deterministic seeding;
+    k-means|| would converge faster but costs extra passes — with a
+    fixed small ``iters`` the simple seed keeps the oracle unrolled).
+    Empty cells die (standard Lloyd). Returns (cell, c_emb: array<long>,
+    c_norm2). Centroid components stay ≤ QUANT, so integer dots never
+    overflow regardless of corpus size."""
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=True)
+    cents = vecs.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c_emb")
+    )
+    for _ in range(iters):
+        c = cents.withColumn("c_norm2", _idot(F.col("c_emb"), F.col("c_emb")))
+        scored = vecs.join(F.broadcast(c)).withColumn(
+            "c_cos",
+            _cos(_idot(F.col("q"), F.col("c_emb")),
+                 _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c_cos").desc(), F.col("cell").asc()
+        )
+        assign = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cell", "q")
+        )
+        # update: exact integer component sums -> floor-mean (the only
+        # wide op per round: one map-side-combinable groupBy)
+        comp = assign.select("cell", F.posexplode("q").alias("pos", "v"))
+        sums = comp.groupBy("cell", "pos").agg(
+            F.floor(F.sum("v").cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("m")
+        )
+        cents = (
+            sums.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+        )
+    return cents.withColumn("c_norm2", _idot(F.col("c_emb"), F.col("c_emb")))
+
+
+def _ivf_centroids_sql(cells: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (no recursive
+    aggregation — DuckDB forbids it in recursive CTEs)."""
+    ctes = [
+        f"qvecs AS (SELECT vec_id, {_QUANTIZE_SQL} AS q FROM embeddings)",
+        f"cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, q AS c_emb "
+        f"FROM qvecs WHERE vec_id < {cells})",
+    ]
+    for i in range(iters):
+        prev, cur = f"cents{i}", f"cents{i + 1}"
+        dot = _idot_sql("v.q", "c.c_emb")
+        vnorm = _idot_sql("v.q", "v.q")
+        cnorm = _idot_sql("c.c_emb", "c.c_emb")
+        ctes.append(f"""
+assign{i} AS (
+  SELECT vec_id, cell, q FROM (
+    SELECT v.vec_id, c.cell, v.q,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY CAST({dot} AS DOUBLE)
+                 / sqrt(CAST({vnorm} AS DOUBLE) * CAST({cnorm} AS DOUBLE))
+                 DESC, c.cell) AS rnk
+    FROM qvecs v CROSS JOIN {prev} c
+  ) WHERE rnk = 1
+)""")
+        ctes.append(f"""
+{cur} AS (
+  SELECT cell, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT cell, pos,
+      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+    FROM (
+      SELECT cell, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+      FROM assign{i}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)""")
+    cnorm_final = _idot_sql("c_emb", "c_emb")
+    ctes.append(
+        f"cents AS (SELECT cell, c_emb, {cnorm_final} AS c_norm2 "
+        f"FROM cents{iters})"
+    )
+    return ",\n".join(c.strip() for c in ctes)
+
+
+def ivf_assign(
+    embeddings: DataFrame, cells: int = IVF_CELLS, iters: int = IVF_ITERS
+) -> DataFrame:
+    """Final IVF assignment against the trained centroids: nearest =
+    max quantized cosine, ties by cell id. Pure joins + window."""
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+    cents = ivf_centroids(embeddings, cells, iters).localCheckpoint(eager=True)
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "c_cos",
-        _cos(_qdot(F.col("embedding"), F.col("c_emb")),
-             F.col("norm2"), F.col("c_norm2")),
+        _cos(_idot(F.col("q"), F.col("c_emb")),
+             _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                              F.col("cell").asc())
@@ -221,41 +367,54 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign_sql() -> str:
-    dot = _qdot_sql("v.embedding", "c.embedding")
-    return f"""
-WITH {NORM2_CTE.strip()},
-cents AS (SELECT vec_id AS cell, embedding, norm2 FROM vecs
-          WHERE {IVF_CENTROID_PRED}),
-scored AS (
-  SELECT v.vec_id, c.cell,
-    CAST({dot} AS DOUBLE)
-      / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS c_cos
-  FROM vecs v CROSS JOIN cents c
-)
-SELECT vec_id, cell FROM (
-  SELECT vec_id, cell,
-    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rnk
-  FROM scored
-) WHERE rnk = 1"""
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    probes: int = IVF_PROBES,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-flat ANN with trained centroids and multi-probe: per query,
+    exact search restricted to the query's ``probes`` nearest cells.
 
-
-def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
-    """IVF-flat ANN: per query, exact search restricted to the query's
-    cell — at corpus scale the cell join replaces the broadcast
-    cross-score; per-cell skew is AQE's skew-join case or a cell-split
-    salt."""
+    Scale shape: centroids broadcast (≈ sqrt(N) rows); the corpus side
+    carries its cell id from one assignment pass; the probe join fans
+    each query out to P cells. ``broadcast_queries=False`` switches the
+    query side to a shuffle hash join on ``cell`` when the query set
+    exceeds the broadcast threshold; per-cell skew is AQE's skew-join
+    case or a cell-split salt."""
     vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
-    assign = ivf_assign(embeddings)
-    vc = vecs.join(assign, "vec_id")
-    queries = vc.filter(F.expr(QUERY_PRED)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("q_norm2"),
-        F.col("cell"),
+    cents = ivf_centroids(embeddings, cells, iters).localCheckpoint(eager=True)
+    qv = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+
+    cscored = qv.join(F.broadcast(cents)).withColumn(
+        "c_cos",
+        _cos(_idot(F.col("q"), F.col("c_emb")),
+             _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
     )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell").asc()
+    )
+    ranked = cscored.withColumn("rnk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cell")
+    vc = vecs.join(assign, "vec_id")
+
+    # query probe set: top-P cells per query vector
+    probe = (
+        ranked.filter(F.col("rnk") <= probes)
+        .join(vecs.filter(F.expr(QUERY_PRED)), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            F.col("cell"),
+        )
+    )
+    if broadcast_queries:
+        probe = F.broadcast(probe)
     scored = (
-        vc.join(F.broadcast(queries), "cell")
+        vc.join(probe, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", _qdot(F.col("q_emb"), F.col("embedding")))
         .withColumn("cos_sim", _cos(F.col("dot"), F.col("q_norm2"), F.col("norm2")))
@@ -269,33 +428,42 @@ def ivf_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def ivf_topk_sql(k: int = 3) -> str:
-    dot_c = _qdot_sql("v.embedding", "c.embedding")
+def ivf_topk_sql(
+    k: int = 3,
+    cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    probes: int = IVF_PROBES,
+) -> str:
+    dot_qc = _idot_sql("v.q", "c.c_emb")
+    vnorm = _idot_sql("v.q", "v.q")
     dot_q = _qdot_sql("q.embedding", "v.embedding")
     return f"""
-WITH {NORM2_CTE.strip()},
-cents AS (SELECT vec_id AS cell, embedding, norm2 FROM vecs
-          WHERE {IVF_CENTROID_PRED}),
-cscored AS (
-  SELECT v.vec_id, c.cell,
-    CAST({dot_c} AS DOUBLE)
-      / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS c_cos
-  FROM vecs v CROSS JOIN cents c
+WITH {_ivf_centroids_sql(cells, iters)},
+{NORM2_CTE.strip()},
+qq AS (SELECT vec_id, {_QUANTIZE_SQL} AS q FROM embeddings),
+cranked AS (
+  SELECT vec_id, cell, rnk FROM (
+    SELECT v.vec_id, c.cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY CAST({dot_qc} AS DOUBLE)
+                 / sqrt(CAST({vnorm} AS DOUBLE) * CAST(c.c_norm2 AS DOUBLE))
+                 DESC, c.cell) AS rnk
+    FROM qq v CROSS JOIN cents c
+  )
 ),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rnk
-    FROM cscored
-  ) WHERE rnk = 1
+vc AS (SELECT v.*, a.cell FROM vecs v
+       JOIN (SELECT vec_id, cell FROM cranked WHERE rnk = 1) a USING (vec_id)),
+probe AS (
+  SELECT r.vec_id AS query_id, v.embedding, v.norm2, r.cell
+  FROM cranked r JOIN vecs v USING (vec_id)
+  WHERE r.rnk <= {probes} AND {QUERY_PRED.replace('vec_id', 'r.vec_id')}
 ),
-vc AS (SELECT v.*, a.cell FROM vecs v JOIN assign a USING (vec_id)),
-queries AS (SELECT * FROM vc WHERE {QUERY_PRED}),
 scored AS (
-  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+  SELECT q.query_id, v.vec_id AS neighbor_id,
     CAST({dot_q} AS DOUBLE)
       / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(v.norm2 AS DOUBLE)) AS cos_sim
-  FROM queries q JOIN vc v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+  FROM probe q JOIN vc v ON v.cell = q.cell AND v.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT query_id, neighbor_id, cos_sim,
