@@ -57,26 +57,9 @@ def main() -> None:
     sf_label = sf_dir.rstrip("/").split("sf")[-1]
 
     qs = entrymod.queries()
-    bench_queries = [
-        "ancestor_closure",
-        "relation_set",
-        "relations_agg",
-        "class_cdc",
-        "relation_upsert_end_state",
-        "transcript_ordering",
-        "mention_detection",
-        "entity_linking_top1",
-        "union_find",
-        "dedup_exact",
-        "dedup_minhash",
-        "dedup_simhash",
-        "ann_cosine_topk",
-        "embedding_near_dups",
-        "text_quality",
-        "winnowing_fingerprints",
-        "event_sessionization",
-        "multimodal_decode",
-    ]
+    # every gate query is timed — regressions anywhere are visible in
+    # the per-query delta section below
+    bench_queries = list(qs)
 
     timings: dict[str, float] = {}
 
@@ -109,6 +92,27 @@ def main() -> None:
 
     total = sum(timings.values())
     triples_per_sec = n_triples / timings["full_load"] if timings["full_load"] else 0.0
+
+    # per-query delta vs the previous round's driver-recorded bench
+    # (stderr only — the stdout contract stays one JSON line)
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if not prev_path:
+        candidates = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+        prev_path = str(candidates[-1]) if candidates else None
+    if prev_path and Path(prev_path).exists():
+        try:
+            prev_doc = json.loads(Path(prev_path).read_text())
+            prev_q = (prev_doc.get("parsed") or prev_doc).get("queries", {})
+            for k in sorted(set(timings) | set(prev_q)):
+                now, was = timings.get(k), prev_q.get(k)
+                if now is not None and was:
+                    log(f"delta {k}: {now:.2f}s vs {was:.2f}s ({now / was:.2f}x)")
+                elif now is not None:
+                    log(f"delta {k}: {now:.2f}s (new)")
+                else:
+                    log(f"delta {k}: dropped (was {was:.2f}s)")
+        except (ValueError, OSError) as e:
+            log(f"delta: could not read {prev_path}: {e}")
 
     print(
         json.dumps(

@@ -189,13 +189,26 @@ def reconcile(
     incoming_relations: DataFrame,
     class_state: DataFrame,
     relation_state: DataFrame,
+    assume_unique_ids: bool = False,
 ) -> ReconcileResult:
     """Full Q5-ordered reconciliation: M1 → M2 → M3.
 
     All inputs are DataFrames over one pinned snapshot of prior state;
     outputs are the new state plus the three CDC reports
     (``mongodb_loader.py:246-250``).
+
+    Duplicate ids in ``incoming_classes`` are collapsed to one
+    deterministic representative per id first: the reference's
+    sequential per-document upsert (``filter_fields=['id']``) converges
+    to a single stored doc per id, and which duplicate "wins" is an
+    iteration-order accident there — distributed execution has no such
+    order, so we pin the min-by-JSON representative instead. The
+    dedup is one wide shuffle of full class docs — callers whose
+    producer guarantees unique ids (the extraction path builds classes
+    with a groupBy on id) pass ``assume_unique_ids=True`` to skip it.
     """
+    if not assume_unique_ids:
+        incoming_classes = _one_doc_per_id(incoming_classes)
     obs = obsolete_ids(incoming_classes).localCheckpoint(eager=True)
 
     # Step 1.1 — M1 (mongodb_loader.py:225-227)

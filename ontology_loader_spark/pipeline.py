@@ -91,6 +91,9 @@ def run_ontology_load(
         incoming_relations=ext.relations_bag,
         class_state=prior_class_state,
         relation_state=prior_relation_state,
+        # extraction builds classes via a groupBy on id — unique by
+        # construction; skip the duplicate-collapse shuffle
+        assume_unique_ids=True,
     )
     return ext, rec
 
@@ -155,7 +158,8 @@ def run_ontology_load_checkpointed(
         prior_classes = spark.createDataFrame([], classes.schema)
         prior_relations = spark.createDataFrame([], bag.schema)
 
-    rec = reconcile(classes, bag, prior_classes, prior_relations)
+    rec = reconcile(classes, bag, prior_classes, prior_relations,
+                    assume_unique_ids=True)
     store.publish(rec.class_state, "ontology_class_set")
     store.publish(rec.relation_state, "ontology_relation_set")
 

@@ -1,0 +1,202 @@
+"""Real-ontology ingestion round-trip: an OBO Graph JSON fixture and a
+semantic-sql SQLite fixture describing the SAME graph must both load
+into the canonical ``term_dict``/``edges`` tables and produce the
+identical class / direct-relation / closure sets that the
+pure-Python reference restatement computes — i.e. a user holding the
+actual artifact the reference consumes (``ontology_processor.py:57,
+63-92``) gets byte-equal extraction semantics from this engine."""
+
+import json
+import sqlite3
+
+import pytest
+
+from ontology_loader_spark.inputs.ingest import (
+    read_obograph_json,
+    read_semsql_sqlite,
+)
+from ontology_loader_spark.operators.classes import build_ontology_classes
+from ontology_loader_spark.operators.closure import (
+    ancestor_closure,
+    direct_relations,
+    relevant_entities,
+)
+from ontology_loader_spark.testing.pyreference import reference_extraction
+
+ONT = "envo"
+OBO = "http://purl.obolibrary.org/obo/"
+
+# (id, name, definition, aliases, is_obsolete, replaced_by) — a graph
+# exercising IRI->CURIE conversion, missing labels/definitions,
+# synonyms, an obsolete term with replaced_by, and a foreign branch.
+TERMS = [
+    ("ENVO:1", "root one", "top", ["r1"], False, None),
+    ("ENVO:2", "two", None, [], False, None),
+    ("ENVO:3", "three", "", ["iii", "t3"], False, None),
+    ("ENVO:4", None, "part thing", [], False, None),
+    ("ENVO:5", "old five", "gone", [], True, "ENVO:2"),
+    ("OTHER:7", "foreign", "x", [], False, None),
+    ("ENVO:8", "eight", "via foreign", [], False, None),
+]
+
+EDGES = [
+    ("ENVO:2", "rdfs:subClassOf", "ENVO:1"),
+    ("ENVO:3", "rdfs:subClassOf", "ENVO:2"),
+    ("ENVO:4", "BFO:0000050", "ENVO:3"),
+    ("OTHER:7", "rdfs:subClassOf", "ENVO:2"),
+    ("ENVO:8", "rdfs:subClassOf", "OTHER:7"),
+    ("ENVO:3", "rdfs:seeAlso", "ENVO:1"),  # ignored predicate
+]
+
+
+def _iri(curie: str) -> str:
+    # ENVO terms written as OBO IRIs (conversion under test);
+    # everything else stays CURIE-shaped
+    if curie.startswith("ENVO:"):
+        return OBO + curie.replace(":", "_")
+    return curie
+
+
+def _write_obograph(path):
+    nodes = []
+    for tid, name, definition, aliases, obsolete, replaced_by in TERMS:
+        node = {"id": _iri(tid), "type": "CLASS"}
+        if name is not None:
+            node["lbl"] = name
+        meta = {}
+        if definition is not None:
+            meta["definition"] = {"val": definition}
+        if aliases:
+            meta["synonyms"] = [{"pred": "hasExactSynonym", "val": a} for a in aliases]
+        if obsolete:
+            meta["deprecated"] = True
+        if replaced_by:
+            meta["basicPropertyValues"] = [
+                {"pred": OBO + "IAO_0100001", "val": _iri(replaced_by)}
+            ]
+        if meta:
+            node["meta"] = meta
+        nodes.append(node)
+    pred_map = {
+        "rdfs:subClassOf": "is_a",
+        "BFO:0000050": OBO + "BFO_0000050",
+        "rdfs:seeAlso": "http://www.w3.org/2000/01/rdf-schema#seeAlso",
+    }
+    edges = [
+        {"sub": _iri(s), "pred": pred_map[p], "obj": _iri(o)}
+        for s, p, o in EDGES
+    ]
+    path.write_text(json.dumps({"graphs": [{"nodes": nodes, "edges": edges}]}))
+
+
+def _write_semsql(path):
+    con = sqlite3.connect(str(path))
+    con.execute(
+        "CREATE TABLE statements (subject TEXT, predicate TEXT, object TEXT, "
+        "value TEXT, datatype TEXT, language TEXT)"
+    )
+    con.execute("CREATE TABLE edge (subject TEXT, predicate TEXT, object TEXT)")
+
+    def stmt(s, p, o=None, v=None):
+        con.execute(
+            "INSERT INTO statements VALUES (?, ?, ?, ?, NULL, NULL)", (s, p, o, v)
+        )
+
+    for tid, name, definition, aliases, obsolete, replaced_by in TERMS:
+        stmt(tid, "rdf:type", o="owl:Class")
+        if name is not None:
+            stmt(tid, "rdfs:label", v=name)
+        if definition is not None:
+            stmt(tid, "IAO:0000115", v=definition)
+        for a in aliases:
+            stmt(tid, "oio:hasExactSynonym", v=a)
+        if obsolete:
+            stmt(tid, "owl:deprecated", v="true")
+        if replaced_by:
+            stmt(tid, "IAO:0100001", o=replaced_by)
+    # a blank-node statement that must NOT become a term
+    stmt("_:b0", "rdf:type", o="owl:Restriction")
+    for s, p, o in EDGES:
+        con.execute("INSERT INTO edge VALUES (?, ?, ?)", (s, p, o))
+    con.commit()
+    con.close()
+
+
+def _extract(spark, td, ed):
+    classes = {
+        r["id"]: (
+            r["type"],
+            tuple(sorted(r["alternative_names"])),
+            r["definition"],
+            r["is_root"],
+            r["is_obsolete"],
+            r["name"],
+        )
+        for r in build_ontology_classes(td, ed, ONT).collect()
+    }
+    rel = relevant_entities(td, ONT)
+    direct = sorted(
+        (r["subject"], r["predicate"], r["object"])
+        for r in direct_relations(ed, rel).collect()
+    )
+    closure = sorted(
+        (r["subject"], r["predicate"], r["object"])
+        for r in ancestor_closure(ed, rel, ONT).collect()
+    )
+    return classes, direct, closure
+
+
+@pytest.fixture(scope="module")
+def expected():
+    want_classes, want_direct, want_closure = reference_extraction(
+        TERMS, EDGES, ONT
+    )
+    classes = {
+        cid: (
+            c["type"],
+            tuple(sorted(c["alternative_names"])),
+            c["definition"],
+            c["is_root"],
+            c["is_obsolete"],
+            c["name"],
+        )
+        for cid, c in want_classes.items()
+    }
+    return classes, sorted(want_direct), sorted(want_closure)
+
+
+def test_obograph_json_roundtrip(spark, tmp_path, expected):
+    p = tmp_path / "envo.json"
+    _write_obograph(p)
+    td, ed = read_obograph_json(spark, str(p))
+    got = _extract(spark, td, ed)
+    assert got[0] == expected[0]
+    assert got[1] == expected[1]
+    assert got[2] == expected[2]
+    # IRI conversion happened (no IRIs leak into ids)
+    assert all(not r["id"].startswith("http") for r in td.collect())
+    # replaced_by followed the same conversion
+    by_id = {r["id"]: r for r in td.collect()}
+    assert by_id["ENVO:5"]["replaced_by"] == "ENVO:2"
+
+
+def test_semsql_sqlite_roundtrip(spark, tmp_path, expected):
+    p = tmp_path / "envo.db"
+    _write_semsql(p)
+    td, ed = read_semsql_sqlite(spark, str(p))
+    got = _extract(spark, td, ed)
+    assert got[0] == expected[0]
+    assert got[1] == expected[1]
+    assert got[2] == expected[2]
+    # blank nodes excluded
+    assert all(not r["id"].startswith("_:") for r in td.collect())
+
+
+def test_both_paths_identical(spark, tmp_path):
+    pj = tmp_path / "envo.json"
+    pdb = tmp_path / "envo.db"
+    _write_obograph(pj)
+    _write_semsql(pdb)
+    td_j, ed_j = read_obograph_json(spark, str(pj))
+    td_s, ed_s = read_semsql_sqlite(spark, str(pdb))
+    assert _extract(spark, td_j, ed_j) == _extract(spark, td_s, ed_s)

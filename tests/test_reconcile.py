@@ -163,3 +163,29 @@ def test_q4_bag_report_set_store(spark):
     res = reconcile(incoming, incoming_rels, empty_classes(spark), empty_rels(spark))
     assert res.relation_inserts_report.count() == 2   # bag (report)
     assert res.relation_state.count() == 1            # set (store)
+
+
+def test_duplicate_incoming_ids_converge_to_one_doc(spark):
+    """Duplicate ids in the incoming batch collapse to one
+    deterministic representative, so the end state holds exactly one
+    doc per id (the reference's sequential per-id upsert converges the
+    same way; which duplicate wins there is an iteration-order
+    accident)."""
+    incoming = classes_df(
+        spark,
+        [mk_class("A:1", name="first"), mk_class("A:1", name="second"),
+         mk_class("A:2")],
+    )
+    res = reconcile(incoming, empty_rels(spark), empty_classes(spark),
+                    empty_rels(spark))
+    state = res.class_state.collect()
+    assert len(state) == 2
+    assert {r["id"] for r in state} == {"A:1", "A:2"}
+    # deterministic representative: min by JSON render -> name "first"
+    a1 = [r for r in state if r["id"] == "A:1"][0]
+    assert a1["name"] == "first"
+    # rerunning with the same batch is a fixpoint
+    res2 = reconcile(incoming, empty_rels(spark), res.class_state,
+                     res.relation_state)
+    assert res2.class_updates_report.count() == 0
+    assert res2.class_inserts_report.count() == 0
