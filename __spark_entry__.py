@@ -205,6 +205,18 @@ def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions(spark, tr, md)
 
 
+def q_mention_detection_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``mention_detection`` (shares its oracle) via
+    the no-driver-collect sharded path: the dictionary stays
+    distributed; each (shard, salt) task builds only its shard's
+    automaton."""
+    from ontology_loader_spark.transcripts.mentions import detect_mentions_sharded
+
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    return detect_mentions_sharded(spark, tr, md)
+
+
 def q_entity_linking_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = derive.derive_transcripts(spark, sf_dir)
     md = derive.derive_mention_dict(spark, sf_dir)
@@ -369,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_reassembly": q_conversation_reassembly,
         "transcript_ordering": q_transcript_ordering,
         "mention_detection": q_mention_detection,
+        "mention_detection_sharded": q_mention_detection_sharded,
         "entity_linking_top1": q_entity_linking_top1,
         "mention_counts": q_mention_counts,
         "union_find": q_union_find,
@@ -408,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_reassembly": oracle.q_conversation_reassembly(),
         "transcript_ordering": oracle.q_transcript_ordering(),
         "mention_detection": oracle.q_mention_detection(),
+        "mention_detection_sharded": oracle.q_mention_detection(),
         "entity_linking_top1": oracle.q_entity_linking_top1(),
         "mention_counts": oracle.q_mention_counts(),
         "union_find": oracle.q_union_find(),

@@ -131,6 +131,90 @@ def detect_mentions(
     )
 
 
+def detect_mentions_sharded(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    n_shards: int = 4,
+    n_salt: int = 4,
+) -> DataFrame:
+    """Mention detection for dictionaries too large for one driver
+    collect + broadcast (the ``detect_mentions`` path tops out around
+    ~1M surfaces of driver/broadcast memory).
+
+    Fully distributed — the dictionary never touches the driver:
+
+    - every dictionary row goes to shard ``hash(term_id) % n_shards``
+      and is replicated across the ``n_salt`` text salts of that shard;
+    - every text row is replicated across all ``n_shards`` shards and
+      goes to salt ``hash(conv_id, turn_idx) % n_salt``;
+    - ``applyInPandas`` over groups keyed ``(shard, salt)`` builds the
+      shard's Aho-Corasick automaton executor-side from the dictionary
+      rows IN the group and scans the group's texts with it.
+
+    Memory bound per task: ``|dict| / n_shards`` automaton states +
+    ``|texts| / n_salt`` rows — both knobs independent, so neither the
+    dictionary nor the corpus ever has to fit anywhere whole. Cost:
+    texts shuffle ``n_shards``× and dict rows ``n_salt``× (the price of
+    not broadcasting). Shards partition the term set, so the per-shard
+    outputs union to exactly the unsharded result — no dedup needed;
+    matching depends only on (text, shard dictionary), never on group
+    or batch boundaries.
+    """
+    shard_of_term = F.pmod(F.hash("id"), F.lit(n_shards))
+    salt_of_text = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt))
+
+    dict_part = (
+        mention_dict.select(
+            shard_of_term.alias("shard"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("id").alias("d_term_id"),
+            F.col("name").alias("d_surface"),
+        )
+    )
+    text_part = (
+        transcripts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+            salt_of_text.alias("salt"),
+            "conv_id",
+            "turn_idx",
+            "text",
+            F.lit(None).cast("string").alias("d_term_id"),
+            F.lit(None).cast("string").alias("d_surface"),
+        )
+    )
+    unioned = dict_part.unionByName(text_part)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_dict = pdf["d_term_id"].notna()
+        match = _build_matcher(
+            list(zip(pdf.loc[is_dict, "d_term_id"], pdf.loc[is_dict, "d_surface"]))
+        )
+        conv_ids, turn_idxs, term_ids, surfaces = [], [], [], []
+        texts = pdf.loc[~is_dict]
+        for conv_id, turn_idx, text in zip(
+            texts["conv_id"], texts["turn_idx"], texts["text"]
+        ):
+            for term_id, surface in match(text):
+                conv_ids.append(conv_id)
+                turn_idxs.append(turn_idx)
+                term_ids.append(term_id)
+                surfaces.append(surface)
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(conv_ids, dtype="object"),
+                "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+                "term_id": pd.Series(term_ids, dtype="object"),
+                "surface": pd.Series(surfaces, dtype="object"),
+            }
+        )
+
+    return unioned.groupBy("shard", "salt").applyInPandas(run, schema=MENTION_SCHEMA)
+
+
 @F.pandas_udf(IntegerType())
 def link_score(surface: pd.Series) -> pd.Series:
     """Vectorized link score: surface-form length (longer = more

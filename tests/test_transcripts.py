@@ -123,3 +123,50 @@ def test_redirect_map_follows_chains(spark):
     )
     got = {r["src"]: r["dst"] for r in redirect_map(td).collect()}
     assert got == {"A:1": "A:3", "A:2": "A:3"}
+
+
+def test_sharded_detection_equals_broadcast(spark):
+    """The sharded (no-driver-collect) detector must return exactly the
+    unsharded result on the derived corpus — shard/salt choices are
+    physical only."""
+    from ontology_loader_spark.inputs import derive
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions,
+        detect_mentions_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tr = derive.derive_transcripts(spark, sf)
+    md = derive.derive_mention_dict(spark, sf)
+    base = sorted(map(tuple, detect_mentions(spark, tr, md).collect()))
+    for n_shards, n_salt in ((1, 1), (4, 4), (3, 2)):
+        sharded = sorted(map(tuple, detect_mentions_sharded(
+            spark, tr, md, n_shards=n_shards, n_salt=n_salt).collect()))
+        assert sharded == base
+
+
+def test_sharded_detection_large_dictionary(spark):
+    """Memory-bound path: a dictionary far beyond sensible broadcast
+    size per shard still detects correctly (each task builds only its
+    shard's automaton: ~|dict|/n_shards states)."""
+    import datetime
+
+    from ontology_loader_spark.schemas import TRANSCRIPT_SCHEMA
+    from ontology_loader_spark.transcripts.mentions import detect_mentions_sharded
+
+    n_terms = 50_000
+    md = spark.range(n_terms).selectExpr(
+        "concat('T:', id) AS id", "concat('surface', id, 'x') AS name"
+    )
+    base_ts = datetime.datetime(2026, 3, 1)
+    rows = [
+        (f"c{i}", 0, "user", f"text mentions surface{i * 97 % n_terms}x here",
+         None, base_ts)
+        for i in range(300)
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {(r["conv_id"], r["term_id"])
+           for r in detect_mentions_sharded(spark, tr, md, n_shards=8,
+                                            n_salt=2).collect()}
+    want = {(f"c{i}", f"T:{i * 97 % n_terms}") for i in range(300)}
+    assert got == want
