@@ -71,8 +71,8 @@ from source:
 
 This engine's measured end-to-end rates on one node (identical
 semantics, store writes included as distinct-merge + state publish):
-12,360 triples/sec at 4 pinned cores, 42,700 at 8 unpinned,
-i.e. ≥ 6-85× the reference's sink-bound ceiling on the same machine
+17,500 triples/sec at 4 pinned cores (round 2; 12,360 in round 1),
+i.e. ≥ 8-35× the reference's sink-bound ceiling on the same machine
 class — before adding executors, which the reference cannot do at all.
 """
 
@@ -108,9 +108,12 @@ def weak_section() -> list[str]:
         f"{hi['turns_per_sec']:,} |",
         "",
         f"Weak-scaling efficiency T_N(W) / T_4N(4W) = **{w['efficiency']}** —",
-        "growing the corpus 4× with 4× the cores holds wall time nearly",
-        "constant. (Numbers from scripts/scaling_job.py runs recorded in",
-        "BENCH/weak_scaling.json; regenerate by re-running the two legs.)",
+        "growing the corpus 4× with 4× the cores holds wall time (values",
+        "above 1 are superlinear: the fixed driver-side iteration latency",
+        "of the closure/union-find loops is the same at both levels, so it",
+        "amortizes over 4× more work in the large leg). (Numbers from",
+        "scripts/scaling_job.py runs recorded in BENCH/weak_scaling.json;",
+        "regenerate by re-running the two legs.)",
         "",
     ]
 
