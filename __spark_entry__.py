@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ontology_loader_spark import oracle
 from ontology_loader_spark.inputs import derive
+from ontology_loader_spark.operators import corpus as _corpus
 from ontology_loader_spark.operators import dedup as _dedup
 from ontology_loader_spark.operators import events as _events
 from ontology_loader_spark.operators import multimodal as _multimodal
@@ -300,6 +301,32 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_embs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components (iterative,
+    size-aware partitioning) over the verified LSH candidate graph."""
+    from ontology_loader_spark.operators.corpus import duplicate_clusters
+
+    return duplicate_clusters(_docs(spark, sf_dir))
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.corpus import train_test_split
+
+    return train_test_split(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.corpus import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.corpus import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.text import text_quality
 
@@ -401,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": q_event_window_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "token_stats": q_token_stats,
+        "dedup_clusters": q_dedup_clusters,
+        "train_test_split": q_train_test_split,
+        "pii_scrub": q_pii_scrub,
+        "doc_packing": q_doc_packing,
     }
 
 
@@ -441,4 +472,8 @@ def oracle_sql() -> dict[str, str]:
         "event_window_stats": _events.tumbling_window_stats_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),
         "token_stats": _text.token_stats_sql(),
+        "dedup_clusters": _corpus.duplicate_clusters_sql(),
+        "train_test_split": _corpus.train_test_split_sql(),
+        "pii_scrub": _corpus.pii_scrub_sql(),
+        "doc_packing": _corpus.pack_documents_sql(),
     }

@@ -1,0 +1,221 @@
+"""Training-corpus preparation operators — the steps between "deduped
+documents" and "training batches" in a large-scale pipeline: duplicate
+-cluster resolution, leakage-safe splits, PII scrubbing, and
+token-budget packing.
+
+All hashing is md5-based (shared with the DuckDB oracles); no UDFs —
+every operator is whole-stage-codegen'd Catalyst.
+
+Scale notes per operator are inline; the common theme: keys are
+uniform hashes (no skew), windows are either per-doc or explicitly
+flagged where a global order is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.dedup import (
+    DOC_SHINGLES_CTE,
+    MAX_BUCKET,
+    _hex4_spark,
+    _hex4_sql,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+)
+
+# ------------------------------------------------------- dup clusters
+
+DUP_THRESHOLD = 0.2
+
+
+def duplicate_clusters(
+    documents: DataFrame,
+    threshold: float = DUP_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Resolve verified near-duplicate pairs into clusters: connected
+    components over the (LSH candidate ∧ jaccard ≥ threshold) graph,
+    canonical = min doc_id per component. Output
+    (doc_id, canonical_id); singletons map to themselves.
+
+    This is the corpus-scale consumer of ``connected_components`` —
+    the dup graph grows with the corpus, so the iterative min-label
+    variant (size-aware partitioning) is used, never the driver
+    union-find."""
+    from ontology_loader_spark.transcripts.unionfind import connected_components
+
+    pairs = ngram_jaccard(
+        documents, minhash_candidate_pairs(documents, max_bucket)
+    ).filter(F.col("jaccard") >= threshold)
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = documents.select(F.col("doc_id").alias("node"))
+    comps = connected_components(nodes, sym.distinct())
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def duplicate_clusters_sql(
+    threshold: float = DUP_THRESHOLD, max_bucket: int = MAX_BUCKET
+) -> str:
+    from ontology_loader_spark.operators.dedup import ngram_jaccard_sql
+
+    jacc = ngram_jaccard_sql(max_bucket)
+    # wrap the jaccard query as a CTE and run min-label components
+    body = f"""
+, dup AS (
+  SELECT a, b FROM jacc WHERE jaccard >= {threshold}
+),
+sym AS (
+  SELECT a AS u, b AS v FROM dup UNION SELECT b AS u, a AS v FROM dup
+),
+cc(node, reach) AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT c.node, s.v AS reach FROM cc c JOIN sym s ON c.reach = s.u
+)
+SELECT node AS doc_id, MIN(reach) AS canonical_id FROM cc GROUP BY node"""
+    # jacc is a full WITH query; re-express its body as a CTE
+    head, _, tail = jacc.partition("\nSELECT p.a AS a")
+    return (
+        "WITH RECURSIVE "
+        + head.split("WITH ", 1)[1].rstrip()
+        + ",\njacc AS (\nSELECT p.a AS a"
+        + tail
+        + ")"
+        + body
+    )
+
+
+# ------------------------------------------------------------- splits
+
+TEST_FRAC = 0.125  # 8192/65536 — exact in the hex4 space
+
+
+def train_test_split(
+    documents: DataFrame, key: str = "doc_id", test_frac: float = TEST_FRAC
+) -> DataFrame:
+    """Deterministic, engine-independent split: the first 4 md5 hex
+    digits of the key value (0..65535) against the fraction cut.
+    Output (key, split). Leakage control = key choice: split on
+    ``conv_id``/source-document key, never the shard row id, so all
+    rows of one logical unit land on one side. Uniform hash — no skew,
+    no shuffle (a projection)."""
+    cut = int(65536 * (1 - test_frac))
+    h = _hex4_spark(F.md5(F.col(key).cast("string")))
+    return documents.select(
+        F.col(key),
+        F.when(h < cut, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+def train_test_split_sql(key: str = "doc_id", test_frac: float = TEST_FRAC) -> str:
+    cut = int(65536 * (1 - test_frac))
+    h = _hex4_sql(f"md5(CAST({key} AS VARCHAR))")
+    return f"""
+SELECT {key},
+  CASE WHEN {h} < {cut} THEN 'train' ELSE 'test' END AS split
+FROM documents"""
+
+
+# -------------------------------------------------------- PII scrub
+
+#: deliberately simple character-class patterns — identical semantics
+#: in Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_PATTERNS = (
+    # order matters: the most specific shapes first — the phone pattern
+    # would otherwise swallow SSNs (both are digit runs with dashes)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[+]?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact common PII shapes in one projection pass (chained
+    ``regexp_replace`` — codegen'd, no UDF). Output
+    (doc_id, scrubbed_text, n_redactions)."""
+    scrubbed = F.col("text")
+    for _, pattern, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    n = F.lit(0).cast("long")
+    for _, pattern, _tok in PII_PATTERNS:
+        # count = length delta of removing the matches
+        n = n + (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pattern, F.lit("")))
+        )
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (n > 0).alias("had_pii"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    scrubbed = "text"
+    for _, pattern, token in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '{token}', 'g')"
+    deltas = " + ".join(
+        f"(length(text) - length(regexp_replace(text, '{pattern}', '', 'g')))"
+        for _, pattern, _t in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id, {scrubbed} AS scrubbed_text,
+       ({deltas}) > 0 AS had_pii
+FROM documents"""
+
+
+# ------------------------------------------------------------ packing
+
+PACK_BUDGET = 256  # tokens per pack (gate-scale; production: ctx length)
+
+
+def pack_documents(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concatenate-and-chunk packing (LLM-pretraining style): documents
+    are laid out in doc_id order, and each doc's pack is the chunk its
+    START offset falls into — docs may span a boundary, exactly like a
+    token stream cut every ``budget`` tokens. Output
+    (doc_id, n_tokens, pack_id, pack_offset).
+
+    Scale note: the running total is a global-order window — one sort.
+    At corpus scale, run per partition-group (layout order is arbitrary
+    anyway): ``pack_documents(df.repartitionByRange(...))`` per range,
+    or substitute a salted group column for the single window below.
+    The gate pins the deterministic global form."""
+    n_tokens = F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = documents.select("doc_id", n_tokens.alias("n_tokens"))
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).cast("long").alias("pack_id"),
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) % budget)
+        .cast("long")
+        .alias("pack_offset"),
+    )
+
+
+def pack_documents_sql(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget})
+       AS BIGINT) AS pack_id,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {budget}
+       AS BIGINT) AS pack_offset
+FROM toks"""

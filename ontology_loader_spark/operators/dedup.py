@@ -251,9 +251,9 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_sql() -> str:
+def ngram_jaccard_sql(max_bucket: int = MAX_BUCKET) -> str:
     return (
-        minhash_candidates_sql().replace(
+        minhash_candidates_sql(max_bucket).replace(
             "\nSELECT DISTINCT l.doc_id AS a",
             ",\npairs AS (SELECT DISTINCT l.doc_id AS a",
         ).replace(

@@ -72,17 +72,36 @@ vecs AS (
 QUERY_PRED = "vec_id % 100 = 0"
 
 
-def brute_force_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
     """Exact cosine top-k per query vector. Output: (query_id,
-    neighbor_id, rank, cos_sim)."""
+    neighbor_id, rank, cos_sim).
+
+    ``queries`` selects the query subset by ``vec_id`` (default: the
+    gate's deterministic ``QUERY_PRED`` sample). The corpus side stays
+    partition-parallel; only the query side broadcasts — and only
+    while it is small: at corpus-fraction query sizes pass
+    ``broadcast_queries=False`` (the cross-score becomes a partitioned
+    nested-loop; at that scale prefer the LSH/IVF paths anyway)."""
     vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
-    queries = vecs.filter(F.expr(QUERY_PRED)).select(
+    qsrc = (
+        vecs.filter(F.expr(QUERY_PRED))
+        if queries is None
+        else vecs.join(queries.select("vec_id"), "vec_id", "left_semi")
+    )
+    query_side = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm2").alias("q_norm2"),
     )
+    if broadcast_queries:
+        query_side = F.broadcast(query_side)
     scored = (
-        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        vecs.join(query_side, F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", _qdot(F.col("q_emb"), F.col("embedding")))
         .withColumn("cos_sim", _cos(F.col("dot"), F.col("q_norm2"), F.col("norm2")))
     )

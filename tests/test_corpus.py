@@ -1,0 +1,81 @@
+"""Training-corpus operators: duplicate-cluster transitivity, split
+determinism + leakage safety, PII scrubbing on a planted fixture, and
+concat-and-chunk packing invariants. (Value-level engine parity is the
+driver gate's job — these pin the semantics.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.corpus import (
+    PACK_BUDGET,
+    duplicate_clusters,
+    pack_documents,
+    pii_scrub,
+    train_test_split,
+)
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A≈B and B≈C must land A, B, C in ONE cluster even if A and C
+    never share an LSH bucket directly — the property pair-level dedup
+    lacks and cluster resolution exists for."""
+    base = " ".join(f"w{i}" for i in range(40))
+    b = base.replace("w0 ", "x0 ")            # ~1 shingle-edit from A
+    c = b.replace("w39", "x39")               # ~1 from B, 2 from A
+    rows = [(0, base), (1, b), (2, c),
+            (3, " ".join(f"z{i}" for i in range(40)))]   # unrelated
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in duplicate_clusters(docs, threshold=0.5).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3  # singleton maps to itself
+
+
+def test_split_deterministic_and_leakage_safe(spark):
+    docs = spark.range(2000).selectExpr("id AS doc_id", "'t' AS text")
+    s1 = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in train_test_split(docs.repartition(13)).collect()}
+    assert s1 == s2                      # partitioning-independent
+    frac = sum(1 for v in s1.values() if v == "test") / len(s1)
+    assert 0.08 < frac < 0.17            # ~12.5% nominal
+    # leakage safety: same key always lands on the same side, even
+    # across duplicate rows
+    dup = docs.union(docs)
+    sd = train_test_split(dup).distinct()
+    assert sd.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_pii_scrub_planted_fixture(spark):
+    rows = [
+        (0, "contact me at jane.doe+x@example.org for details"),
+        (1, "call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "clean text with no identifiers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["scrubbed_text"], r["had_pii"])
+           for r in pii_scrub(docs).collect()}
+    assert got[0] == ("contact me at <EMAIL> for details", True)
+    assert got[1] == ("call <PHONE> now", True)
+    assert got[2] == ("ssn <SSN> leaked", True)
+    assert got[3] == ("clean text with no identifiers", False)
+
+
+def test_packing_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(50))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    packs = pack_documents(docs, budget=128).collect()
+    by_id = {r["doc_id"]: r for r in sorted(packs, key=lambda r: r["doc_id"])}
+    # pack ids are the running token offset // budget, offsets < budget
+    offset = 0
+    for i in range(40):
+        r = by_id[i]
+        assert r["pack_id"] == offset // 128
+        assert r["pack_offset"] == offset % 128
+        offset += r["n_tokens"]
+    # monotone non-decreasing pack ids in doc order
+    ids = [by_id[i]["pack_id"] for i in range(40)]
+    assert ids == sorted(ids)

@@ -61,3 +61,16 @@ def test_centroid_components_bounded(spark, embs):
     assert rows  # at least one live cell
     for r in rows:
         assert all(abs(c) <= QUANT for c in r["c_emb"])
+
+
+def test_brute_force_custom_query_set(spark, embs):
+    """Caller-supplied query sets replace the default sample; results
+    for the shared queries are identical."""
+    default = brute_force_topk(embs, k=K)
+    some = embs.selectExpr("vec_id").where("vec_id IN (0, 100)")
+    custom = brute_force_topk(embs, k=K, queries=some, broadcast_queries=False)
+    d = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in default.collect()
+         if r["query_id"] in (0, 100)}
+    c = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in custom.collect()}
+    assert c == d
+    assert {q for q, _ in c} == {0, 100}
