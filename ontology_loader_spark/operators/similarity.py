@@ -259,7 +259,7 @@ def _idot_sql(a: str, b: str) -> str:
 
 
 def ivf_centroids(
-    embeddings: DataFrame, cells: int = IVF_CELLS, iters: int = IVF_ITERS
+    embeddings: DataFrame, cells: int | None = IVF_CELLS, iters: int = IVF_ITERS
 ) -> DataFrame:
     """Trained IVF coarse centroids via Lloyd's k-means — pure
     DataFrame iterations, no UDF, and **order-independent arithmetic**
@@ -279,10 +279,17 @@ def ivf_centroids(
     fixed small ``iters`` the simple seed keeps the oracle unrolled).
     Empty cells die (standard Lloyd). Returns (cell, c_emb: array<long>,
     c_norm2). Centroid components stay ≤ QUANT, so integer dots never
-    overflow regardless of corpus size."""
+    overflow regardless of corpus size.
+
+    ``cells=None`` auto-tunes to ≈ sqrt(N) (one count action), the
+    standard IVF sizing: sqrt(N) cells of ~sqrt(N) vectors balances
+    the centroid broadcast against per-cell search work. The oracle
+    gate pins a literal count; the auto path is for API users."""
     vecs = embeddings.select(
         "vec_id", _quantize(F.col("embedding")).alias("q")
     ).localCheckpoint(eager=True)
+    if cells is None:
+        cells = max(4, int(round(vecs.count() ** 0.5)))
     cents = vecs.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c_emb")
     )
@@ -366,7 +373,7 @@ assign{i} AS (
 
 
 def ivf_assign(
-    embeddings: DataFrame, cells: int = IVF_CELLS, iters: int = IVF_ITERS
+    embeddings: DataFrame, cells: int | None = IVF_CELLS, iters: int = IVF_ITERS
 ) -> DataFrame:
     """Final IVF assignment against the trained centroids: nearest =
     max quantized cosine, ties by cell id. Pure joins + window."""
@@ -389,7 +396,7 @@ def ivf_assign(
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 3,
-    cells: int = IVF_CELLS,
+    cells: int | None = IVF_CELLS,
     iters: int = IVF_ITERS,
     probes: int = IVF_PROBES,
     broadcast_queries: bool = True,

@@ -74,3 +74,15 @@ def test_brute_force_custom_query_set(spark, embs):
     c = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in custom.collect()}
     assert c == d
     assert {q for q, _ in c} == {0, 100}
+
+
+def test_ivf_auto_cell_count(spark, embs):
+    """cells=None auto-tunes to ~sqrt(N); the index still meets the
+    recall floor (500 vecs -> ~22 cells, probes=3)."""
+    from ontology_loader_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(embs, cells=None).collect()
+    assert 15 <= len(cents) <= 23  # sqrt(500) ~ 22, minus dead cells
+    exact = _pairs(brute_force_topk(embs, k=K))
+    auto = _pairs(ivf_topk(embs, k=K, cells=None, probes=8))
+    assert len(exact & auto) / len(exact) >= 0.5
