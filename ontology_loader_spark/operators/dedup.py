@@ -221,22 +221,35 @@ WHERE l.doc_id < r.doc_id"""
     )
 
 
-def ngram_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+def ngram_jaccard(
+    documents: DataFrame, pairs: DataFrame, broadcast_pairs: bool = True
+) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: |∩| / |∪| (double
     division of exact integers — bit-identical across engines). The
     verification unit matches the MinHash estimate's unit (shingles),
-    so the LSH threshold and the verify threshold are commensurate."""
+    so the LSH threshold and the verify threshold are commensurate.
+
+    The candidate-pair set is max_bucket-capped upstream — small
+    relative to the exploded shingle table — so it broadcasts into the
+    intersection joins (a sort-merge of the shingle table on the pair
+    key would dominate the operator at scale). Pass
+    ``broadcast_pairs=False`` if the candidate set outgrows the
+    broadcast threshold (shuffle hash join on doc id instead)."""
     tokset = doc_shingles(documents).distinct()
     sizes = tokset.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = tokset.select(F.col("doc_id").alias("a"), "shingle")
     tb = tokset.select(F.col("doc_id").alias("b"), "shingle")
+    cand = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        pairs.join(ta, "a").join(tb, ["b", "shingle"])
+        cand.join(ta, "a").join(tb, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        pairs.join(inter, ["a", "b"], "left")
+        # inter is keyed by candidate pair — same bounded size as the
+        # capped pair set, so it broadcasts into the left join too
+        pairs.join(F.broadcast(inter) if broadcast_pairs else inter,
+                   ["a", "b"], "left")
         .na.fill({"n_inter": 0})
         .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")

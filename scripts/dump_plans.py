@@ -26,7 +26,9 @@ KEY_QUERIES = [
     "event_sessionization",
 ]
 
-UDF_QUERIES = {"entity_linking_top1"}  # deliberate pandas-UDF slot
+#: deliberate Arrow-batched UDF slots (link scoring; multimodal decode
+#: plumbing — the one operator whose kernel is Python by design)
+UDF_QUERIES = {"entity_linking_top1", "multimodal_decode"}
 
 
 def main() -> None:
@@ -41,7 +43,7 @@ def main() -> None:
     sections = []
     summary = ["| query | broadcast joins | sort-merge joins | exchanges | "
                "python nodes | pushed filters |", "|---|---|---|---|---|---|"]
-    for name in KEY_QUERIES:
+    for name in qs:  # every gate query gets a summary row
         df = qs[name](spark, sf)
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
@@ -63,9 +65,10 @@ def main() -> None:
             print(f"WARNING: {name} uses SortMergeJoin")
         if py > 0 and name not in UDF_QUERIES and not name.startswith("mention"):
             print(f"WARNING: {name} has unexpected python node")
-        # keep the formatted plan excerpt (truncated) for inspection
-        head = "\n".join(formatted.splitlines()[:40])
-        sections.append(f"## {name}\n\n```\n{head}\n```\n")
+        if name in KEY_QUERIES:
+            # keep the formatted plan excerpt (truncated) for inspection
+            head = "\n".join(formatted.splitlines()[:40])
+            sections.append(f"## {name}\n\n```\n{head}\n```\n")
 
     out = ["# PLANS — physical-plan evidence for the headline operators",
            "",
