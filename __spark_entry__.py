@@ -378,6 +378,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_payloads(with_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.multimodal import (
+        sample_frames,
+        with_payload,
+    )
+
+    return sample_frames(with_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.multimodal import (
+        extract_payload_features,
+        with_payload,
+    )
+
+    return extract_payload_features(with_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.multimodal import (
+        decode_payloads,
+        resize_plan,
+        with_payload,
+    )
+
+    return resize_plan(decode_payloads(with_payload(_docs(spark, sf_dir))))
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -424,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize_plan": q_multimodal_resize_plan,
         "event_sessionization": q_event_sessionization,
         "event_window_stats": q_event_window_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -468,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.lang_id_sql(),
         "doc_fingerprint": _text.doc_fingerprint_sql(),
         "multimodal_decode": _multimodal.decode_metadata_sql(),
+        "multimodal_frame_sample": _multimodal.sample_frames_sql(),
+        "multimodal_features": _multimodal.extract_payload_features_sql(),
+        "multimodal_resize_plan": _multimodal.resize_plan_sql(),
         "event_sessionization": _events.sessionize_sql(),
         "event_window_stats": _events.tumbling_window_stats_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),

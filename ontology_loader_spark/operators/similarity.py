@@ -499,11 +499,17 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 ) WHERE rank <= {k}"""
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.35, dims: int = LSH_DIMS
+) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold, searched
     within LSH buckets (exact within-bucket; the bucket restriction is
-    the recall/scale trade the LSH family makes)."""
-    vecs = with_norm2(embeddings).withColumn("bucket", lsh_bucket(F.col("embedding")))
+    the recall/scale trade the LSH family makes). Within-bucket work is
+    quadratic in bucket size — size ``dims`` ≈ log2(N / target_bucket)
+    so buckets stay O(constant) as the corpus grows."""
+    vecs = with_norm2(embeddings).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), dims)
+    )
     left = vecs.select(
         "bucket",
         F.col("vec_id").alias("a"),

@@ -28,7 +28,9 @@ KEY_QUERIES = [
 
 #: deliberate Arrow-batched UDF slots (link scoring; multimodal decode
 #: plumbing — the one operator whose kernel is Python by design)
-UDF_QUERIES = {"entity_linking_top1", "multimodal_decode"}
+UDF_QUERIES = {"entity_linking_top1", "multimodal_decode",
+               "multimodal_frame_sample", "multimodal_features",
+               "multimodal_resize_plan"}
 
 
 def main() -> None:
