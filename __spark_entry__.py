@@ -103,6 +103,26 @@ def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ancestor_closure(ed, relevant_entities(td, ONT), ONT)
 
 
+def q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance gate: split the edge set ~16:1 by an
+    md5 predicate, compute the prior closure on the large part, then
+    delta-update with the small part — the result must hash-match the
+    FULL-closure oracle (same oracle as ancestor_closure)."""
+    from ontology_loader_spark.operators.closure import incremental_closure_update
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    is_new = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "subject", "predicate", "object")), 1, 2), 16, 10)
+        .cast("int") % 16 == 0
+    )
+    old = ed.filter(~is_new)
+    new = ed.filter(is_new)
+    rel = relevant_entities(td, ONT).localCheckpoint(eager=True)
+    prior = ancestor_closure(old, rel, ONT).localCheckpoint(eager=True)
+    return incremental_closure_update(old, new, prior, rel, ONT)
+
+
 def _relations_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = derive.derive_term_dict(spark, sf_dir)
     ed = derive.derive_edges(spark, sf_dir)
@@ -427,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_relations": q_direct_relations,
         "ancestor_closure": q_ancestor_closure,
         "relation_set": q_relation_set,
+        "incremental_closure": q_incremental_closure,
         "relations_agg": q_relations_agg,
         "class_cdc": q_class_cdc,
         "obsolete_relation_delete": q_obsolete_relation_delete,
@@ -474,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "direct_relations": oracle.q_direct_relations(),
         "ancestor_closure": oracle.q_ancestor_closure(),
         "relation_set": oracle.q_relation_set(),
+        "incremental_closure": oracle.q_ancestor_closure(),
         "relations_agg": oracle.q_relations_agg(),
         "class_cdc": oracle.q_class_cdc(),
         "obsolete_relation_delete": oracle.q_obsolete_relation_delete(),

@@ -187,6 +187,131 @@ def ancestor_closure(
     )
 
 
+def incremental_closure_update(
+    edges: DataFrame,
+    new_edges: DataFrame,
+    prior_closure: DataFrame,
+    relevant: DataFrame,
+    ontology: str,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Maintain the reflexive transitive closure under edge ADDITIONS
+    without recomputing from scratch — the new-ontology-version case
+    the reconciliation pipeline exists for (a release typically adds a
+    few hundred edges to a million-row closure).
+
+    Delta-frontier semi-naive evaluation: a new pair can only arise as
+    ``reach(s, a) ∘ new(a, b) ∘ reach(b, o)`` — reach into a new edge,
+    extended onward. ``prior_closure`` alone cannot seed the reach-in
+    side: quirk Q2 filters foreign objects at EMISSION, so a pair
+    (s → foreign a) was never stored even though traversal passes
+    through it. The seed is therefore a reverse BFS over the RAW
+    (old ∪ new) edge set from the new edges' subjects — cost
+    proportional to the delta's ancestor cone, never the old closure —
+    intersected with the closure domain. The forward fixpoint then
+    iterates only the genuinely-new pairs against the full edge set,
+    anti-joining out prior pairs.
+
+    ``prior_closure``: (subject, predicate, object, type) as produced
+    by :func:`ancestor_closure` over ``edges``. Returns the closure of
+    ``edges ∪ new_edges`` in the same shape, equal to a fresh
+    :func:`ancestor_closure` run (pinned by a randomized test)."""
+    all_hedges = (
+        select_hierarchy_edges(edges.unionByName(new_edges), predicates)
+        .select("subject", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_h = (
+        select_hierarchy_edges(new_edges, predicates)
+        .select("subject", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prior_pairs = prior_closure.select(
+        F.col("subject").alias("s"), F.col("object").alias("o")
+    )
+
+    # reverse BFS: revreach(u, a) ⇔ u →* a over raw edges, seeded
+    # reflexively at each new edge's subject a
+    revreach = new_h.select(
+        F.col("subject").alias("u"), F.col("subject").alias("a")
+    ).distinct().localCheckpoint(eager=True)
+    rfrontier = revreach
+    for _ in range(max_iterations):
+        stepped = (
+            rfrontier.join(
+                F.broadcast(all_hedges),
+                rfrontier["u"] == all_hedges["object"],
+            )
+            .select(all_hedges["subject"].alias("u"), rfrontier["a"])
+            .distinct()
+        )
+        new_rev = stepped.join(revreach, ["u", "a"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new_rev.isEmpty():
+            break
+        revreach = revreach.unionByName(new_rev).localCheckpoint(eager=True)
+        rfrontier = new_rev
+    else:
+        raise RuntimeError(
+            f"incremental_closure_update reverse pass did not converge in "
+            f"{max_iterations}"
+        )
+
+    # seed: (u ∈ closure domain) →* a, new edge a → b  ⇒  frontier (u, b)
+    frontier = (
+        revreach.join(
+            F.broadcast(relevant.withColumnRenamed("id", "u")), "u", "left_semi"
+        )
+        .join(new_h.withColumnRenamed("subject", "a"), "a")
+        .select(F.col("u").alias("s"), F.col("object").alias("o"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    known = prior_pairs.localCheckpoint(eager=True)
+    added = frontier.join(known, ["s", "o"], "left_anti").localCheckpoint(eager=True)
+    acc = added
+    frontier = added
+    for _ in range(max_iterations):
+        if frontier.isEmpty():
+            break
+        stepped = (
+            frontier.join(
+                F.broadcast(all_hedges),
+                frontier["o"] == all_hedges["subject"],
+            )
+            .select(frontier["s"], all_hedges["object"].alias("o"))
+            .distinct()
+        )
+        new_pairs = (
+            stepped.join(known, ["s", "o"], "left_anti")
+            .join(acc, ["s", "o"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
+    else:
+        raise RuntimeError(
+            f"incremental_closure_update did not converge in {max_iterations}"
+        )
+
+    emitted = (
+        acc.filter(matches_ontology(F.col("o"), ontology))
+        .select(
+            F.col("s").alias("subject"),
+            F.lit(CLOSURE_PREDICATE).alias("predicate"),
+            F.col("o").alias("object"),
+            F.lit(ONTOLOGY_RELATION_TYPE).alias("type"),
+        )
+    )
+    return prior_closure.unionByName(emitted).distinct()
+
+
 def _closure_doubling(
     hedges: DataFrame, relevant: DataFrame, ontology: str, max_iterations: int
 ) -> DataFrame:
