@@ -26,6 +26,7 @@ from ontology_loader_spark.operators import dedup as _dedup
 from ontology_loader_spark.operators import events as _events
 from ontology_loader_spark.operators import multimodal as _multimodal
 from ontology_loader_spark.operators import similarity as _similarity
+from ontology_loader_spark.operators import sketch as _sketch
 from ontology_loader_spark.operators import text as _text
 from ontology_loader_spark.operators.classes import build_ontology_classes
 from ontology_loader_spark.operators.closure import (
@@ -148,6 +149,24 @@ def q_relations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";",
         ).alias("relations_str"),
     )
+
+
+def q_ancestor_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    closure = ancestor_closure(ed, relevant_entities(td, ONT), ONT)
+    per_term = closure.groupBy("subject").agg(
+        F.count("*").cast("int").alias("n_ancestors")
+    )
+    return per_term.groupBy("n_ancestors").agg(
+        F.count("*").cast("int").alias("n_terms")
+    )
+
+
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.sketch import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(derive.derive_transcripts(spark, sf_dir))
 
 
 def q_class_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ancestor_closure": q_ancestor_closure,
         "relation_set": q_relation_set,
         "incremental_closure": q_incremental_closure,
+        "ancestor_histogram": q_ancestor_histogram,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "relations_agg": q_relations_agg,
         "class_cdc": q_class_cdc,
         "obsolete_relation_delete": q_obsolete_relation_delete,
@@ -496,6 +517,10 @@ def oracle_sql() -> dict[str, str]:
         "ancestor_closure": oracle.q_ancestor_closure(),
         "relation_set": oracle.q_relation_set(),
         "incremental_closure": oracle.q_ancestor_closure(),
+        "ancestor_histogram": oracle.q_ancestor_histogram(),
+        "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(
+            extra_ctes=(derive.TRANSCRIPTS_CTE,)
+        ),
         "relations_agg": oracle.q_relations_agg(),
         "class_cdc": oracle.q_class_cdc(),
         "obsolete_relation_delete": oracle.q_obsolete_relation_delete(),

@@ -251,6 +251,20 @@ WHERE p.id IS NULL""",
     )
 
 
+def q_ancestor_histogram() -> str:
+    """KG shape analytics: distribution of per-term ancestor-set sizes
+    (reflexive closure cardinality) — the profile a loader reports to
+    spot closure blow-ups before they hit the sink."""
+    return _with(
+        *KG_BASE_CTES,
+        body=f"""
+SELECT n_ancestors, CAST(COUNT(*) AS INTEGER) AS n_terms FROM (
+  SELECT s, CAST(COUNT(*) AS INTEGER) AS n_ancestors
+  FROM reach WHERE {F1_O} GROUP BY s
+) GROUP BY n_ancestors""",
+    )
+
+
 def q_conversation_reassembly() -> str:
     """T1 invariant: ordered per-conversation reassembly."""
     return _with(
