@@ -390,6 +390,12 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_docs(spark, sf_dir))
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import benchmark_contamination
+
+    return benchmark_contamination(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.text import token_stats
 
@@ -501,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": q_event_window_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "token_stats": q_token_stats,
+        "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
         "pii_scrub": q_pii_scrub,
@@ -553,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "event_window_stats": _events.tumbling_window_stats_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),
         "token_stats": _text.token_stats_sql(),
+        "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),
         "pii_scrub": _corpus.pii_scrub_sql(),

@@ -202,3 +202,69 @@ bag AS (
 SELECT d.doc_id AS doc_id, md5(d.text) AS content_fp, b.bag_fp AS bag_fp
 FROM documents d LEFT JOIN bag b ON b.doc_id = d.doc_id"""
     )
+
+
+BENCH_MOD = 25          # doc_id % 25 == 0 -> the pseudo-benchmark set
+CONTAM_MIN_SHARED = 20  # shared winnowing fingerprints to flag overlap
+
+
+def benchmark_contamination(
+    documents: DataFrame,
+    bench_mod: int = BENCH_MOD,
+    min_shared: int = CONTAM_MIN_SHARED,
+) -> DataFrame:
+    """Decontamination: flag training docs sharing at least
+    ``min_shared`` winnowing fingerprints with any benchmark doc —
+    the n-gram-overlap check run before a corpus ships to training,
+    robust to shifts/insertions because winnowing is.
+
+    Scale shape: the fingerprint join keys on the (uniform) rolling
+    hash; the benchmark side is tiny relative to the corpus and
+    broadcasts; per-pair counting is one map-side-combinable groupBy.
+    Here the benchmark set is carved from the corpus by a
+    deterministic modulus so both engines see the same split; in
+    production it is its own table. Output
+    (doc_id, bench_id, n_shared)."""
+    fp = winnowing_fingerprints(documents)
+    bench = fp.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "fingerprint"
+    )
+    train = fp.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "fingerprint")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def benchmark_contamination_sql(
+    bench_mod: int = BENCH_MOD, min_shared: int = CONTAM_MIN_SHARED
+) -> str:
+    from ontology_loader_spark.operators.dedup import _hex4_sql
+
+    h = _hex4_sql(f"md5(substr(t, pos, {WINNOW_K}))")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, pos, {h} AS h
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(range(1, length(text) - {WINNOW_K - 1} + 1)) AS pos
+    FROM documents WHERE length(text) >= {WINNOW_K}
+  )
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+    AS fingerprint
+  FROM grams
+),
+bench AS (SELECT doc_id AS bench_id, fingerprint FROM fp
+          WHERE doc_id % {bench_mod} = 0),
+train AS (SELECT * FROM fp WHERE doc_id % {bench_mod} <> 0)
+SELECT t.doc_id AS doc_id, b.bench_id AS bench_id,
+       COUNT(*) AS n_shared
+FROM train t JOIN bench b ON t.fingerprint = b.fingerprint
+GROUP BY t.doc_id, b.bench_id
+HAVING COUNT(*) >= {min_shared}"""
