@@ -49,6 +49,28 @@ def windowed_turn_counts(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch exact dedup: emit each distinct
+    (content digest) once, with duplicate suppression state bounded by
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — exact
+    dedup within the horizon, at-most-once per key inside it; a
+    duplicate arriving later than the watermark can re-emit, the
+    standard bounded-state trade every streaming dedup makes).
+
+    Keyed on the md5 digest — uniform, so the dedup state store
+    shuffles evenly across executors at any scale."""
+    return (
+        stream.select(
+            "conv_id", "turn_idx", "ts",
+            F.md5(F.col("text")).alias("digest"),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 def foreach_batch_mentions(
     spark: SparkSession,
     stream: DataFrame,

@@ -80,3 +80,40 @@ def test_foreach_batch_mentions_match_batch(spark, transcript_dir, tmp_path):
     )
     assert sorted(sink) == want
     assert len(want) == 200  # every turn mentions exactly one term
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicated texts across micro-batches are emitted once within
+    the watermark horizon; distinct texts all survive."""
+    import datetime
+
+    from ontology_loader_spark.streaming.ingest import (
+        stream_transcripts,
+        streaming_exact_dedup,
+    )
+
+    base = datetime.datetime(2026, 5, 1)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each repeated 3 times across conversations
+        rows.append((f"c{i}", 0, "user", f"text {i % 10}", None,
+                     base + datetime.timedelta(minutes=i)))
+    src = tmp_path / "dsrc"
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).repartition(5).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = stream_transcripts(spark, str(src), max_files_per_trigger=1)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select digest from stream_dedup").collect()
+    assert len(got) == 10                      # one row per distinct text
+    assert len({r["digest"] for r in got}) == 10
