@@ -269,6 +269,21 @@ def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_counts_salted(detect_mentions(spark, tr, md))
 
 
+def q_comention_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.transcripts.mentions import comention_lift
+
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    mentions = detect_mentions(spark, tr, md).localCheckpoint(eager=True)
+    return comention_lift(mentions)
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def q_union_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = derive.derive_transcripts(spark, sf_dir)
     md = derive.derive_mention_dict(spark, sf_dir)
@@ -488,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_top1": q_entity_linking_top1,
         "mention_counts": q_mention_counts,
         "union_find": q_union_find,
+        "comention_lift": q_comention_lift,
+        "doc_chunking": q_doc_chunking,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -541,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_top1": oracle.q_entity_linking_top1(),
         "mention_counts": oracle.q_mention_counts(),
         "union_find": oracle.q_union_find(),
+        "comention_lift": oracle.q_comention_lift(),
+        "doc_chunking": _corpus.chunk_documents_sql(),
         "dedup_exact": _dedup.EXACT_DUP_SQL,
         "dedup_minhash": _dedup.minhash_candidates_sql(),
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_sql(),

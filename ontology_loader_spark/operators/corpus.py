@@ -219,3 +219,70 @@ SELECT doc_id, n_tokens,
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {budget}
        AS BIGINT) AS pack_offset
 FROM toks"""
+
+
+# ----------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sliding-window chunking for embedding/retrieval prep: overlap
+    tokens of context carry across chunk boundaries. Start positions
+    stop at ``size - overlap`` so every chunk contributes new content;
+    short docs yield one chunk. Pure explode + slice — the fan-out is
+    ~size/stride rows per doc, partition-parallel. Output
+    (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    stride = chunk_tokens - overlap
+    ts = F.expr("filter(split(text, ' '), t -> t <> '')")
+    return (
+        documents.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.size("ts") - overlap),
+                    F.lit(stride),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.expr(f"array_join(slice(ts, start, {chunk_tokens}), ' ')").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size("ts") - F.col("start") + 1
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ts,
+         unnest(range(1, GREATEST(1, len(ts) - {overlap}) + 1, {stride})) AS start
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+  CAST((start - 1) / {stride} AS INTEGER) AS chunk_idx,
+  array_to_string(ts[start:start + {chunk_tokens - 1}], ' ') AS chunk_text,
+  CAST(LEAST({chunk_tokens}, len(ts) - start + 1) AS INTEGER) AS n_tokens
+FROM starts"""

@@ -355,6 +355,40 @@ GROUP BY d.id""",
     )
 
 
+def q_comention_lift() -> str:
+    """Association strength for co-mention KG edges: lift = P(u,v) /
+    (P(u)·P(v)) over distinct turns — exact integer counts, one
+    double multiply/divide chain (identical tree on both engines)."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        """mentions AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, d.id AS term_id
+  FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+)""",
+        """total AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT conv_id, turn_idx FROM mentions)
+)""",
+        """per_term AS (
+  SELECT term_id, COUNT(*) AS n_t FROM mentions GROUP BY term_id
+)""",
+        """pair AS (
+  SELECT a.term_id AS u, b.term_id AS v, COUNT(*) AS n_uv
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.term_id < b.term_id
+  GROUP BY a.term_id, b.term_id
+)""",
+        body="""
+SELECT p.u AS u, p.v AS v, p.n_uv AS n_uv,
+  (CAST(p.n_uv AS DOUBLE) * CAST(t.n AS DOUBLE))
+    / (CAST(nu.n_t AS DOUBLE) * CAST(nv.n_t AS DOUBLE)) AS lift
+FROM pair p
+JOIN per_term nu ON nu.term_id = p.u
+JOIN per_term nv ON nv.term_id = p.v
+CROSS JOIN total t""",
+    )
+
+
 def q_union_find() -> str:
     """T3 oracle: connected components (min-label) over the co-mention
     graph — terms co-mentioned in one turn share a component."""

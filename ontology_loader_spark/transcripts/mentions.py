@@ -237,6 +237,45 @@ def top1_links(mentions: DataFrame) -> DataFrame:
     )
 
 
+def comention_lift(mentions: DataFrame) -> DataFrame:
+    """Edge weighting for the co-mention KG: lift(u, v) =
+    P(u,v) / (P(u)·P(v)) over turns = (n_uv · N) / (n_u · n_v) — the
+    association strength a linker uses to rank candidate relations
+    (PMI without the log, so the arithmetic is two exact-int counts
+    and one double multiply/divide chain — bit-identical across
+    engines; log rounding is not guaranteed identical).
+
+    Per-term and per-pair counts are distinct-turn counts; the pair
+    join keys on (conv_id, turn_idx) — turn-cardinality keys, no
+    skew. Output (u, v, n_uv, lift) for u < v."""
+    turns = mentions.select("conv_id", "turn_idx", "term_id").distinct()
+    n_total = turns.select("conv_id", "turn_idx").distinct().count()
+    per_term = turns.groupBy("term_id").agg(F.count("*").alias("n_t"))
+    a = turns.select("conv_id", "turn_idx", F.col("term_id").alias("u"))
+    b = turns.select("conv_id", "turn_idx", F.col("term_id").alias("v"))
+    pair = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_uv"))
+    )
+    nu = per_term.select(F.col("term_id").alias("u"), F.col("n_t").alias("n_u"))
+    nv = per_term.select(F.col("term_id").alias("v"), F.col("n_t").alias("n_v"))
+    return (
+        pair.join(F.broadcast(nu), "u")
+        .join(F.broadcast(nv), "v")
+        .select(
+            "u",
+            "v",
+            "n_uv",
+            (
+                (F.col("n_uv").cast("double") * F.lit(float(n_total)))
+                / (F.col("n_u").cast("double") * F.col("n_v").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 def mention_counts_salted(mentions: DataFrame, n_salt: int = 16) -> DataFrame:
     """Two-phase salted count per term: hub terms concentrate mention
     traffic, so phase 1 pre-aggregates on (term_id, salt) before the
