@@ -30,6 +30,22 @@ def materialize(df) -> int:
     return 0
 
 
+def free_persistent_rdds(spark) -> None:
+    """Drop localCheckpoint/cache blocks left by the previous query.
+
+    Each bench query is independent, but in one long-lived local JVM
+    the checkpoint blocks of 50 queries accumulate in storage memory
+    and the tail of the run pays their GC pressure — an artifact of
+    benching many queries in one session, not of any single query's
+    plan. Freeing between queries keeps per-query timings iid."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist()
+    except Exception:
+        pass  # benching continues unaffected if the internal API moves
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -85,6 +101,7 @@ def main() -> None:
     log(f"transcript_kg: {timings['transcript_kg']:.2f}s assertions={n_assertions}")
 
     for name in bench_queries:
+        free_persistent_rdds(spark)
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         timings[name] = time.time() - t0
