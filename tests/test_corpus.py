@@ -79,3 +79,68 @@ def test_packing_invariants(spark):
     # monotone non-decreasing pack ids in doc order
     ids = [by_id[i]["pack_id"] for i in range(40)]
     assert ids == sorted(ids)
+
+
+def test_chunking_invariants(spark):
+    """Chunks reconstruct the original token stream: dropping each
+    chunk's overlap prefix (except the first) and concatenating in
+    chunk order yields the document; every chunk except possibly the
+    last is full-size."""
+    from ontology_loader_spark.operators.corpus import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(150)),   # multi-chunk
+        1: " ".join(f"w{i}" for i in range(64)),    # exactly one window
+        2: "short text",                            # tiny
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = []
+        for i, r in enumerate(rows):
+            ct = r["chunk_text"].split(" ")
+            assert len(ct) == r["n_tokens"]
+            toks.extend(ct if i == 0 else ct[16:])
+            if i < len(rows) - 1:
+                assert r["n_tokens"] == 64   # only the last may be short
+        assert " ".join(toks) == texts[doc_id]
+    assert len(by_doc[2]) == 1 and len(by_doc[1]) == 1
+    assert len(by_doc[0]) > 1
+
+
+def test_comention_lift_orders_association(spark):
+    """A pair that always co-occurs must out-lift a pair that
+    co-occurs once by coincidence; lift of a perfectly-dependent pair
+    is N/n (> 1 when the pair is rarer than the corpus)."""
+    import datetime
+
+    from ontology_loader_spark.schemas import TRANSCRIPT_SCHEMA
+    from ontology_loader_spark.transcripts.mentions import (
+        comention_lift,
+        detect_mentions,
+    )
+
+    base = datetime.datetime(2026, 6, 1)
+    rows = []
+    # 10 turns: alpha+beta always together in 4 turns; gamma in 8 turns,
+    # once alongside alpha+beta
+    for i in range(4):
+        rows.append((f"c{i}", 0, "user", "alpha beta here", None, base))
+    for i in range(4, 10):
+        rows.append((f"c{i}", 0, "user", "gamma alone", None, base))
+    rows.append(("c0b", 0, "user", "alpha beta gamma", None, base))
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    md = spark.createDataFrame(
+        [("T:a", "alpha"), ("T:b", "beta"), ("T:g", "gamma")],
+        "id string, name string",
+    )
+    mentions = detect_mentions(spark, tr, md).localCheckpoint(eager=True)
+    lift = {(r["u"], r["v"]): r["lift"] for r in comention_lift(mentions).collect()}
+    # alpha/beta: n_uv=5, n_u=n_v=5, N=11 -> lift = 5*11/25 = 2.2
+    assert abs(lift[("T:a", "T:b")] - 5 * 11 / 25) < 1e-12
+    # alpha/gamma co-occur once: 1*11/(5*7) ≈ 0.314 — far lower
+    assert lift[("T:a", "T:g")] < lift[("T:a", "T:b")] / 3
