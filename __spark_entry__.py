@@ -375,6 +375,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_docs(spark, sf_dir))
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-prep composition: exact dup -> near dup ->
+    decontamination -> quality gate, one verdict per document."""
+    from ontology_loader_spark.operators.corpus import prepare_training_corpus
+
+    return prepare_training_corpus(_docs(spark, sf_dir))
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.corpus import pack_documents
 
@@ -529,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "pii_scrub": q_pii_scrub,
         "doc_packing": q_doc_packing,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -584,4 +593,5 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _corpus.train_test_split_sql(),
         "pii_scrub": _corpus.pii_scrub_sql(),
         "doc_packing": _corpus.pack_documents_sql(),
+        "corpus_prep": _corpus.prepare_training_corpus_sql(),
     }

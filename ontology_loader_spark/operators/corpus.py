@@ -286,3 +286,111 @@ SELECT doc_id,
   array_to_string(ts[start:start + {chunk_tokens - 1}], ' ') AS chunk_text,
   CAST(LEAST({chunk_tokens}, len(ts) - start + 1) AS INTEGER) AS n_tokens
 FROM starts"""
+
+
+# ------------------------------------------------- corpus preparation
+
+MIN_TOKENS = 30
+MAX_STOPWORD_RATIO = 0.12
+
+
+def prepare_training_corpus(documents: DataFrame) -> DataFrame:
+    """The end-to-end corpus gate: one verdict per document, first
+    matching rule wins —
+
+    1. ``exact_dup``     — not the canonical copy of its content digest
+    2. ``near_dup``      — not the canonical member of its LSH/jaccard
+                           duplicate cluster
+    3. ``contaminated``  — shares ≥K winnowing fingerprints with a
+                           benchmark doc
+    4. ``low_quality``   — under the token floor or over the stopword
+                           ceiling
+    5. ``kept``
+
+    Composition of the individually-gate-verified operators; each
+    stage's side is a (doc_id)-keyed set that broadcasts against the
+    corpus scan, so the verdict pass adds no wide shuffle beyond what
+    the stages themselves need. Output (doc_id, verdict)."""
+    from ontology_loader_spark.operators.dedup import exact_duplicates
+    from ontology_loader_spark.operators.text import (
+        benchmark_contamination,
+        text_quality,
+    )
+
+    exact = (
+        exact_duplicates(documents)
+        .filter(F.col("canonical_id") != F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("f_exact", F.lit(True))
+    )
+    near = (
+        duplicate_clusters(documents)
+        .filter(F.col("canonical_id") != F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("f_near", F.lit(True))
+    )
+    contam = (
+        benchmark_contamination(documents)
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_contam", F.lit(True))
+    )
+    lowq = (
+        text_quality(documents)
+        .filter(
+            (F.col("n_tokens") < MIN_TOKENS)
+            | (F.col("stopword_ratio") > MAX_STOPWORD_RATIO)
+        )
+        .select("doc_id")
+        .withColumn("f_lowq", F.lit(True))
+    )
+    return (
+        documents.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .join(F.broadcast(lowq), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("f_exact"), F.lit("exact_dup"))
+            .when(F.col("f_near"), F.lit("near_dup"))
+            .when(F.col("f_contam"), F.lit("contaminated"))
+            .when(F.col("f_lowq"), F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+def prepare_training_corpus_sql() -> str:
+    from ontology_loader_spark.operators.dedup import EXACT_DUP_SQL
+    from ontology_loader_spark.operators.text import (
+        benchmark_contamination_sql,
+        text_quality_sql,
+    )
+
+    return f"""
+WITH exact AS (
+  SELECT doc_id FROM ({EXACT_DUP_SQL}) WHERE canonical_id <> doc_id
+),
+near AS (
+  SELECT doc_id FROM ({duplicate_clusters_sql()}) WHERE canonical_id <> doc_id
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM ({benchmark_contamination_sql()})
+),
+lowq AS (
+  SELECT doc_id FROM ({text_quality_sql()})
+  WHERE n_tokens < {MIN_TOKENS} OR stopword_ratio > {MAX_STOPWORD_RATIO}
+)
+SELECT d.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       WHEN q.doc_id IS NOT NULL THEN 'low_quality'
+       ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+LEFT JOIN contam c ON c.doc_id = d.doc_id
+LEFT JOIN lowq q ON q.doc_id = d.doc_id"""

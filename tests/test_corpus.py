@@ -144,3 +144,27 @@ def test_comention_lift_orders_association(spark):
     assert abs(lift[("T:a", "T:b")] - 5 * 11 / 25) < 1e-12
     # alpha/gamma co-occur once: 1*11/(5*7) ≈ 0.314 — far lower
     assert lift[("T:a", "T:g")] < lift[("T:a", "T:b")] / 3
+
+
+def test_corpus_prep_precedence(spark):
+    """First-matching-rule precedence: an exact duplicate that is ALSO
+    low quality reports exact_dup; the canonical copy of a dup group is
+    judged on its own merits."""
+    from ontology_loader_spark.operators.corpus import prepare_training_corpus
+
+    long_good = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (0, long_good),            # canonical of the exact-dup group
+        (1, long_good),            # exact dup (also >= token floor)
+        (2, "tiny"),               # low quality (token floor)
+        (3, "tiny"),               # exact dup of 2 -> exact_dup wins
+        (4, " ".join(f"other{i}" for i in range(60))),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"]
+           for r in prepare_training_corpus(docs).collect()}
+    assert got[1] == "exact_dup"
+    assert got[3] == "exact_dup"          # precedence over low_quality
+    assert got[2] == "low_quality"        # canonical judged on merits
+    assert got[0] == "kept"
+    assert got[4] == "kept"
