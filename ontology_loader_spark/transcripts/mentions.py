@@ -253,8 +253,11 @@ def comention_lift(mentions: DataFrame) -> DataFrame:
     per_term = turns.groupBy("term_id").agg(F.count("*").alias("n_t"))
     a = turns.select("conv_id", "turn_idx", F.col("term_id").alias("u"))
     b = turns.select("conv_id", "turn_idx", F.col("term_id").alias("v"))
+    # big-big self-join on uniform turn keys: neither side broadcasts;
+    # shuffle-hash beats sort-merge (no per-partition sorts, build side
+    # is the per-turn mention group — tiny per key)
     pair = (
-        a.join(b, ["conv_id", "turn_idx"])
+        a.join(b.hint("shuffle_hash"), ["conv_id", "turn_idx"])
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("n_uv"))
