@@ -26,11 +26,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ontology-loader-spark")
     p.add_argument("--source-ontology", required=True,
                    help="ontology prefix, e.g. 'envo' (case-insensitive)")
-    p.add_argument("--term-dict", required=True,
+    src = p.add_mutually_exclusive_group()
+    p.add_argument("--term-dict",
                    help="parquet path: id,name,definition,alternative_names,"
-                        "is_obsolete,replaced_by")
-    p.add_argument("--edges", required=True,
+                        "is_obsolete,replaced_by (requires --edges)")
+    p.add_argument("--edges",
                    help="parquet path: subject,predicate,object")
+    src.add_argument("--obograph-json",
+                     help="load term_dict/edges from an OBO Graph JSON "
+                          "file instead of parquet tables")
+    src.add_argument("--semsql-db",
+                     help="load from a semantic-sql SQLite file — the "
+                          "artifact the reference consumes; .gz accepted "
+                          "(gunzipped to a temp file, mirroring the "
+                          "reference's download_and_prepare_ontology)")
     p.add_argument("--state-root",
                    default=os.environ.get("OLS_STATE_ROOT", "./ols_state"))
     p.add_argument("--output-directory",
@@ -49,14 +58,48 @@ def main(argv: list[str] | None = None) -> int:
     from ontology_loader_spark.pipeline import run_ontology_load_checkpointed
     from ontology_loader_spark.session import get_spark
 
+    if not (args.obograph_json or args.semsql_db) and not (
+        args.term_dict and args.edges
+    ):
+        print("error: provide --term-dict + --edges, or --obograph-json, "
+              "or --semsql-db", file=sys.stderr)
+        return 2
+
     spark = get_spark("ontology-loader-spark-cli", master=args.master)
     try:
-        term_dict = spark.read.parquet(args.term_dict)
-        edges = spark.read.parquet(args.edges)
+        if args.obograph_json:
+            from ontology_loader_spark.inputs.ingest import read_obograph_json
+
+            src_id = args.obograph_json
+            term_dict, edges = read_obograph_json(spark, args.obograph_json)
+        elif args.semsql_db:
+            from ontology_loader_spark.inputs.ingest import read_semsql_sqlite
+
+            src_id = args.semsql_db
+            db_path = args.semsql_db
+            if db_path.endswith(".gz"):
+                # mirror the reference's gunzip step
+                # (ontology_processor.py:84-90)
+                import gzip
+                import shutil
+                import tempfile
+
+                tmp = tempfile.NamedTemporaryFile(
+                    suffix=".db", delete=False
+                )
+                with gzip.open(db_path, "rb") as fin:
+                    shutil.copyfileobj(fin, tmp)
+                tmp.close()
+                db_path = tmp.name
+            term_dict, edges = read_semsql_sqlite(spark, db_path)
+        else:
+            src_id = f"{args.term_dict}|{args.edges}"
+            term_dict = spark.read.parquet(args.term_dict)
+            edges = spark.read.parquet(args.edges)
         # input fingerprint = content-derived snapshot id (in production:
         # the Iceberg snapshot id of the input tables)
         fp = hashlib.sha256(
-            f"{args.term_dict}|{args.edges}|{args.source_ontology}".encode()
+            f"{src_id}|{args.source_ontology}".encode()
         ).hexdigest()[:16]
         rec, ck = run_ontology_load_checkpointed(
             spark,

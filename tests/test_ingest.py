@@ -200,3 +200,36 @@ def test_both_paths_identical(spark, tmp_path):
     td_j, ed_j = read_obograph_json(spark, str(pj))
     td_s, ed_s = read_semsql_sqlite(spark, str(pdb))
     assert _extract(spark, td_j, ed_j) == _extract(spark, td_s, ed_s)
+
+
+def test_cli_from_gzipped_semsql(tmp_path):
+    """Full user journey of a reference user: a gzipped semantic-sql
+    SQLite artifact straight into the CLI (the .db.gz the reference
+    downloads), gunzipped transparently, loaded, reconciled, reported."""
+    import gzip
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    db = tmp_path / "envo.db"
+    _write_semsql(db)
+    gz = tmp_path / "envo.db.gz"
+    with open(db, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "-m", "ontology_loader_spark.cli",
+         "--source-ontology", "envo",
+         "--semsql-db", str(gz),
+         "--state-root", str(tmp_path / "state"),
+         "--output-directory", str(tmp_path / "reports"),
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd=str(repo), timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # 6 envo-prefixed terms (ENVO:1..5, ENVO:8); OTHER:7 filtered by F1
+    assert "classes=6" in out.stdout
+    assert (tmp_path / "reports" / "ontology_inserts.tsv").exists()
+    assert (tmp_path / "state" / "ontology_class_set" / "CURRENT").exists()
