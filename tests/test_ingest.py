@@ -233,3 +233,23 @@ def test_cli_from_gzipped_semsql(tmp_path):
     assert "classes=6" in out.stdout
     assert (tmp_path / "reports" / "ontology_inserts.tsv").exists()
     assert (tmp_path / "state" / "ontology_class_set" / "CURRENT").exists()
+
+
+def test_obograph_multiple_graphs(spark, tmp_path):
+    """One obographs file can carry several graphs (e.g. an ontology
+    plus its imports); nodes and edges union across all of them."""
+    import json as _json
+
+    doc = {
+        "graphs": [
+            {"nodes": [{"id": "ENVO:10", "lbl": "ten"}],
+             "edges": [{"sub": "ENVO:10", "pred": "is_a", "obj": "ENVO:1"}]},
+            {"nodes": [{"id": "ENVO:1", "lbl": "root"}], "edges": []},
+        ]
+    }
+    p = tmp_path / "multi.json"
+    p.write_text(_json.dumps(doc))
+    td, ed = read_obograph_json(spark, str(p))
+    assert {r["id"] for r in td.collect()} == {"ENVO:10", "ENVO:1"}
+    assert [(r["subject"], r["predicate"], r["object"])
+            for r in ed.collect()] == [("ENVO:10", "rdfs:subClassOf", "ENVO:1")]
