@@ -33,6 +33,13 @@ QUANT = 10000
 # dims ≈ log2(N / target_bucket_size) so buckets stay O(constant) —
 # every entry point below takes ``dims`` as a parameter for that.
 LSH_DIMS = 4
+# Hot-bucket guard (the MAX_BUCKET analog of dedup.py:46): real
+# embedding distributions concentrate in few orthants, so ``dims``
+# only bounds the AVERAGE bucket — a skewed bucket can hold a large
+# corpus fraction regardless. Buckets above this size are salt-split
+# (near-dup pairs) or down-sampled (top-k candidates) before any
+# within-bucket join.
+MAX_BUCKET = 64
 
 
 def _qdot(a: Column, b: Column) -> Column:
@@ -164,18 +171,53 @@ def lsh_buckets_sql(dims: int = LSH_DIMS) -> str:
     )
 
 
+def _cap_bucket_members(vecs: DataFrame, max_bucket: int) -> DataFrame:
+    """Deterministic per-bucket candidate sample: keep the first
+    ``max_bucket`` members of each bucket in md5(vec_id) order. Buckets
+    at or under the cap pass through unchanged; a hot bucket degrades
+    to a uniform (hash-ordered, engine-reproducible) candidate pool of
+    fixed size — the standard ANN bounded-candidate trade. One window
+    over the bucket key; no UDF."""
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        vecs.withColumn("_brn", F.row_number().over(w))
+        .filter(F.col("_brn") <= max_bucket)
+        .drop("_brn")
+    )
+
+
+_CAP_BUCKET_SQL = """
+capped AS (
+  SELECT vec_id, embedding, norm2, bucket FROM (
+    SELECT b.*, ROW_NUMBER() OVER (
+      PARTITION BY bucket
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _brn
+    FROM bucketed b
+  ) WHERE _brn <= {max_bucket}
+)"""
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 3,
     dims: int = LSH_DIMS,
     broadcast_queries: bool = True,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """ANN variant: cosine top-k per query restricted to the query's
     LSH bucket — the 100 TB path (bucket join instead of broadcast
     cross-score). ``broadcast_queries=False`` switches the query side
     to a shuffle hash join on ``bucket`` for query sets too large to
     broadcast (both sides re-partition on the bucket key; per-bucket
-    skew is AQE's skew-join case)."""
+    skew is AQE's skew-join case).
+
+    ``max_bucket`` is the hot-bucket guard: the corpus side of the
+    bucket join is capped to a deterministic ``max_bucket``-member
+    sample per bucket, so per-query work is O(max_bucket) even when an
+    orthant holds half the corpus. Queries are never dropped — only
+    their candidate pool saturates."""
     vecs = with_norm2(embeddings).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), dims)
     )
@@ -188,7 +230,7 @@ def lsh_topk(
     if broadcast_queries:
         queries = F.broadcast(queries)
     scored = (
-        vecs.join(queries, "bucket")
+        _cap_bucket_members(vecs, max_bucket).join(queries, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", _qdot(F.col("q_emb"), F.col("embedding")))
         .withColumn("cos_sim", _cos(F.col("dot"), F.col("q_norm2"), F.col("norm2")))
@@ -203,18 +245,19 @@ def lsh_topk(
     )
 
 
-def lsh_topk_sql(k: int = 3) -> str:
+def lsh_topk_sql(k: int = 3, max_bucket: int = MAX_BUCKET) -> str:
     dot = _qdot_sql("q.embedding", "v.embedding")
     bucket = lsh_bucket_sql("embedding")
     return f"""
 WITH {NORM2_CTE.strip()},
 bucketed AS (SELECT vec_id, embedding, norm2, {bucket} AS bucket FROM vecs),
+{_CAP_BUCKET_SQL.format(max_bucket=max_bucket).strip()},
 queries AS (SELECT * FROM bucketed WHERE {QUERY_PRED}),
 scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
     CAST({dot} AS DOUBLE)
       / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(v.norm2 AS DOUBLE)) AS cos_sim
-  FROM queries q JOIN bucketed v
+  FROM queries q JOIN capped v
     ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
@@ -500,30 +543,55 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.35, dims: int = LSH_DIMS
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dims: int = LSH_DIMS,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold, searched
     within LSH buckets (exact within-bucket; the bucket restriction is
-    the recall/scale trade the LSH family makes). Within-bucket work is
-    quadratic in bucket size — size ``dims`` ≈ log2(N / target_bucket)
-    so buckets stay O(constant) as the corpus grows."""
+    the recall/scale trade the LSH family makes).
+
+    ``max_bucket`` is the hot-bucket guard (the ``dedup.MAX_BUCKET``
+    analog): a bucket of B members would emit B(B-1)/2 pairs, and
+    ``dims`` only bounds the AVERAGE bucket — orthant mass is not
+    uniform, so one skewed bucket can reintroduce O(B²). Buckets over
+    the cap are salt-split into ``ceil(B / max_bucket)`` deterministic
+    sub-buckets (``vec_id % splits``) and pairs are emitted within
+    sub-buckets only: per-bucket work drops from O(B²) to
+    O(B · max_bucket) — linear in B — at the cost of cross-split pairs
+    inside that hot bucket (recoverable by re-running with a rotated
+    salt; under the cap, splits = 1 and semantics are exactly the
+    uncapped join). Both the split rule and the pair join are plain
+    Catalyst; the DuckDB oracle applies the identical rule."""
     vecs = with_norm2(embeddings).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), dims)
     )
-    left = vecs.select(
+    counts = vecs.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
+    split = (
+        vecs.join(F.broadcast(counts), "bucket")
+        .withColumn(
+            "splits",
+            F.ceil(F.col("bucket_n").cast("double") / max_bucket).cast("long"),
+        )
+        .withColumn("sub", F.col("vec_id") % F.col("splits"))
+    )
+    left = split.select(
         "bucket",
+        "sub",
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("ea"),
         F.col("norm2").alias("na2"),
     )
-    right = vecs.select(
+    right = split.select(
         "bucket",
+        "sub",
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("eb"),
         F.col("norm2").alias("nb2"),
     )
     return (
-        left.join(right, "bucket")
+        left.join(right, ["bucket", "sub"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("dot", _qdot(F.col("ea"), F.col("eb")))
         .withColumn("cos_sim", _cos(F.col("dot"), F.col("na2"), F.col("nb2")))
@@ -532,16 +600,25 @@ def embedding_near_dups(
     )
 
 
-def embedding_near_dups_sql(threshold: float = 0.35) -> str:
+def embedding_near_dups_sql(
+    threshold: float = 0.35, max_bucket: int = MAX_BUCKET
+) -> str:
     dot = _qdot_sql("l.embedding", "r.embedding")
     bucket = lsh_bucket_sql("embedding")
     return f"""
 WITH {NORM2_CTE.strip()},
-bucketed AS (SELECT vec_id, embedding, norm2, {bucket} AS bucket FROM vecs)
+bucketed AS (SELECT vec_id, embedding, norm2, {bucket} AS bucket FROM vecs),
+counts AS (SELECT bucket, COUNT(*) AS bucket_n FROM bucketed GROUP BY bucket),
+split AS (
+  SELECT b.vec_id, b.embedding, b.norm2, b.bucket,
+    b.vec_id % CAST(CEIL(CAST(c.bucket_n AS DOUBLE) / {max_bucket}) AS BIGINT)
+      AS sub
+  FROM bucketed b JOIN counts c USING (bucket)
+)
 SELECT a, b, cos_sim FROM (
   SELECT l.vec_id AS a, r.vec_id AS b,
     CAST({dot} AS DOUBLE)
       / sqrt(CAST(l.norm2 AS DOUBLE) * CAST(r.norm2 AS DOUBLE)) AS cos_sim
-  FROM bucketed l JOIN bucketed r
-    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  FROM split l JOIN split r
+    ON l.bucket = r.bucket AND l.sub = r.sub AND l.vec_id < r.vec_id
 ) WHERE cos_sim >= {threshold}"""

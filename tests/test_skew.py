@@ -80,3 +80,70 @@ def test_lsh_hot_bucket_cap(spark):
     uncapped = minhash_candidate_pairs(docs, max_bucket=10**9).count()
     assert uncapped >= n_boiler * (n_boiler - 1) // 2
     assert n_pairs < uncapped / 100
+
+
+def _skewed_embeddings(spark, n):
+    """All vectors in one orthant (first 4 dims positive) — the whole
+    corpus lands in a single sign-LSH bucket."""
+    rows = [
+        (i, [1.0, 0.5, 0.25, 0.125,
+             float((i * 7) % 13) / 13.0 - 0.5,
+             float((i * 11) % 17) / 17.0 - 0.5])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+
+
+def test_embedding_near_dup_salt_split(spark):
+    """Skewed orthant: one bucket holds the whole corpus. The salt
+    split bounds within-bucket work at O(B·max_bucket) — pairs are
+    emitted within deterministic sub-buckets only — while staying
+    exactly the uncapped join for buckets under the cap."""
+    from ontology_loader_spark.operators.similarity import embedding_near_dups
+
+    n, cap = 300, 32
+    embs = _skewed_embeddings(spark, n)
+
+    capped = embedding_near_dups(embs, threshold=-1.0, max_bucket=cap)
+    rows = capped.collect()
+    splits = -(-n // cap)  # ceil(300/32) = 10 sub-buckets of 30
+    # pairs only within a sub-bucket (vec_id % splits)
+    assert all(r["a"] % splits == r["b"] % splits for r in rows)
+    # exactly sum-over-subs C(s,2): 10 * C(30,2), not C(300,2)
+    assert len(rows) == splits * (n // splits) * (n // splits - 1) // 2
+    assert len(rows) < n * (n - 1) // 2 / 10
+
+    # under the cap the split is a no-op: identical to the uncapped join
+    uncapped = embedding_near_dups(embs, threshold=-1.0, max_bucket=n)
+    assert uncapped.count() == n * (n - 1) // 2
+    small = _skewed_embeddings(spark, 20)
+    a = sorted(map(tuple, embedding_near_dups(small, 0.0, max_bucket=64).collect()))
+    b = sorted(map(tuple, embedding_near_dups(small, 0.0, max_bucket=10**9).collect()))
+    assert a == b
+
+
+def test_lsh_topk_hot_bucket_cap(spark):
+    """Hot bucket in the top-k path: the corpus side is capped to a
+    deterministic md5-ordered sample per bucket, so per-query work is
+    O(max_bucket); queries themselves are never dropped."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ontology_loader_spark.operators.similarity import lsh_topk
+
+    n, cap, k = 300, 16, 3
+    embs = _skewed_embeddings(spark, n)
+    out = lsh_topk(embs, k=k, max_bucket=cap)
+    got = out.collect()
+
+    # expected sample: first `cap` vec_ids by md5(str(vec_id))
+    sample = set(sorted(range(n), key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))[:cap])
+    assert {r["neighbor_id"] for r in got} <= sample
+    # every query (vec_id % 100 == 0) still gets its full k
+    per_q = {q: sum(1 for r in got if r["query_id"] == q)
+             for q in (0, 100, 200)}
+    assert per_q == {0: k, 100: k, 200: k}
