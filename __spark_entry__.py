@@ -389,6 +389,27 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(_docs(spark, sf_dir))
 
 
+def q_doc_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path packing: per-group running-total windows
+    (hash-partitioned on a doc_id range bucket) + prefix-summed group
+    base offsets. Shares the GLOBAL oracle — the hash match is the
+    proof the grouped plan reproduces the global layout exactly."""
+    from ontology_loader_spark.operators.corpus import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), group_span=64)
+
+
+def q_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end load as a gate: extraction + Q5-ordered
+    reconciliation against an EMPTY store — the end-state relation set
+    must equal the distinct incoming relation set (relation_set's
+    oracle)."""
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    ext, rec = run_ontology_load(td, ed, ONT)
+    return rec.relation_state.select("subject", "predicate", "object", "type")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.text import text_quality
 
@@ -537,7 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "pii_scrub": q_pii_scrub,
         "doc_packing": q_doc_packing,
+        "doc_packing_grouped": q_doc_packing_grouped,
         "corpus_prep": q_corpus_prep,
+        "full_load": q_full_load,
     }
 
 
@@ -593,5 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _corpus.train_test_split_sql(),
         "pii_scrub": _corpus.pii_scrub_sql(),
         "doc_packing": _corpus.pack_documents_sql(),
+        "doc_packing_grouped": _corpus.pack_documents_sql(),
         "corpus_prep": _corpus.prepare_training_corpus_sql(),
+        "full_load": oracle.q_relation_set(),
     }

@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark("ontology-loader-spark-cli", master=args.master)
+    tmp_db_path = None
     try:
         if args.obograph_json:
             from ontology_loader_spark.inputs.ingest import read_obograph_json
@@ -90,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
                 with gzip.open(db_path, "rb") as fin:
                     shutil.copyfileobj(fin, tmp)
                 tmp.close()
-                db_path = tmp.name
+                db_path = tmp_db_path = tmp.name
             term_dict, edges = read_semsql_sqlite(spark, db_path)
         else:
             src_id = f"{args.term_dict}|{args.edges}"
@@ -124,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+        if tmp_db_path is not None:
+            # the gunzipped ontology DB is full-size — never leak it
+            try:
+                os.unlink(tmp_db_path)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

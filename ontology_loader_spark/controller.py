@@ -70,14 +70,19 @@ class OntologyLoaderController:
 
         store = self.store_client
         cls_t, rel_t = self._table(CLASS_TABLE), self._table(RELATION_TABLE)
-        if store.exists(cls_t):
-            prior_classes = store.read(self.spark, cls_t)
-            prior_relations = store.read(self.spark, rel_t)
-        else:
-            prior_classes = self.spark.createDataFrame([], ext.classes.schema)
-            prior_relations = self.spark.createDataFrame(
-                [], ext.relations_bag.schema
-            )
+        # check each table independently: a crash between the two
+        # publish calls below leaves a half-published store, and the
+        # next run must still come up (missing side = empty snapshot)
+        prior_classes = (
+            store.read(self.spark, cls_t)
+            if store.exists(cls_t)
+            else self.spark.createDataFrame([], ext.classes.schema)
+        )
+        prior_relations = (
+            store.read(self.spark, rel_t)
+            if store.exists(rel_t)
+            else self.spark.createDataFrame([], ext.relations_bag.schema)
+        )
 
         rec = reconcile(
             ext.classes,

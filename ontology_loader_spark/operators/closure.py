@@ -195,6 +195,7 @@ def incremental_closure_update(
     ontology: str,
     predicates: tuple[str, ...] = DEFAULT_PREDICATES,
     max_iterations: int = 64,
+    broadcast_edges_max: int = 5_000_000,
 ) -> DataFrame:
     """Maintain the reflexive transitive closure under edge ADDITIONS
     without recomputing from scratch — the new-ontology-version case
@@ -207,11 +208,18 @@ def incremental_closure_update(
     side: quirk Q2 filters foreign objects at EMISSION, so a pair
     (s → foreign a) was never stored even though traversal passes
     through it. The seed is therefore a reverse BFS over the RAW
-    (old ∪ new) edge set from the new edges' subjects — cost
-    proportional to the delta's ancestor cone, never the old closure —
-    intersected with the closure domain. The forward fixpoint then
-    iterates only the genuinely-new pairs against the full edge set,
-    anti-joining out prior pairs.
+    (old ∪ new) edge set from the new edges' subjects — the number of
+    PAIR rows iterated is proportional to the delta's ancestor cone,
+    never the old closure — intersected with the closure domain. The
+    forward fixpoint then iterates only the genuinely-new pairs
+    against the full edge set, anti-joining out prior pairs.
+
+    Each fixpoint step joins the frontier against the full hierarchy
+    edge set: broadcast when that edge set is small enough
+    (``broadcast_edges_max`` rows — ontology hierarchies are
+    dictionary-bounded, so this is the common case), otherwise a plain
+    shuffle join per iteration (AQE picks the strategy) — the frontier
+    side stays delta-sized either way.
 
     ``prior_closure``: (subject, predicate, object, type) as produced
     by :func:`ancestor_closure` over ``edges``. Returns the closure of
@@ -223,6 +231,12 @@ def incremental_closure_update(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one count over the checkpointed edge set decides the join
+    # strategy for every fixpoint iteration below
+    if all_hedges.count() <= broadcast_edges_max:
+        hedges_side = F.broadcast(all_hedges)
+    else:
+        hedges_side = all_hedges
     new_h = (
         select_hierarchy_edges(new_edges, predicates)
         .select("subject", "object")
@@ -243,7 +257,7 @@ def incremental_closure_update(
     for _ in range(max_iterations):
         stepped = (
             rfrontier.join(
-                F.broadcast(all_hedges),
+                hedges_side,
                 rfrontier["u"] == all_hedges["object"],
             )
             .select(all_hedges["subject"].alias("u"), rfrontier["a"])
@@ -282,7 +296,7 @@ def incremental_closure_update(
             break
         stepped = (
             frontier.join(
-                F.broadcast(all_hedges),
+                hedges_side,
                 frontier["o"] == all_hedges["subject"],
             )
             .select(frontier["s"], all_hedges["object"].alias("o"))

@@ -17,12 +17,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ontology_loader_spark.operators.dedup import (
-    DOC_SHINGLES_CTE,
     MAX_BUCKET,
     _hex4_spark,
     _hex4_sql,
-    _minhash_bands_sql,
-    _minhash_sig_sql,
     minhash_candidate_pairs,
     ngram_jaccard,
 )
@@ -36,6 +33,7 @@ def duplicate_clusters(
     documents: DataFrame,
     threshold: float = DUP_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
+    broadcast_pairs: bool | None = True,
 ) -> DataFrame:
     """Resolve verified near-duplicate pairs into clusters: connected
     components over the (LSH candidate ∧ jaccard ≥ threshold) graph,
@@ -45,11 +43,19 @@ def duplicate_clusters(
     This is the corpus-scale consumer of ``connected_components`` —
     the dup graph grows with the corpus, so the iterative min-label
     variant (size-aware partitioning) is used, never the driver
-    union-find."""
+    union-find.
+
+    ``broadcast_pairs`` is forwarded to :func:`ngram_jaccard`: the
+    default force-broadcasts the max_bucket-capped candidate set
+    (right for gate/typical scales); pass ``False`` when the capped
+    set is still beyond the broadcast threshold, or ``None`` to let
+    ``ngram_jaccard`` decide from a measured pair count."""
     from ontology_loader_spark.transcripts.unionfind import connected_components
 
     pairs = ngram_jaccard(
-        documents, minhash_candidate_pairs(documents, max_bucket)
+        documents,
+        minhash_candidate_pairs(documents, max_bucket),
+        broadcast_pairs=broadcast_pairs,
     ).filter(F.col("jaccard") >= threshold)
     sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -177,30 +183,68 @@ FROM documents"""
 PACK_BUDGET = 256  # tokens per pack (gate-scale; production: ctx length)
 
 
-def pack_documents(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+def pack_documents(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    group_col: str | None = None,
+    group_span: int | None = None,
+) -> DataFrame:
     """Concatenate-and-chunk packing (LLM-pretraining style): documents
     are laid out in doc_id order, and each doc's pack is the chunk its
     START offset falls into — docs may span a boundary, exactly like a
     token stream cut every ``budget`` tokens. Output
     (doc_id, n_tokens, pack_id, pack_offset).
 
-    Scale note: the running total is a global-order window — one sort.
-    At corpus scale, run per partition-group (layout order is arbitrary
-    anyway): ``pack_documents(df.repartitionByRange(...))`` per range,
-    or substitute a salted group column for the single window below.
-    The gate pins the deterministic global form."""
+    Scale path — grouped running total: with ``group_span`` (or an
+    explicit ``group_col`` that is monotone in ``doc_id``, i.e. a range
+    bucket), the running total is computed as a per-group window
+    (hash-partitioned on the group — partition-parallel) plus a
+    prefix-summed per-group base offset. The base-offset window runs
+    over ONE ROW PER GROUP (corpus_size / group_span rows — trivially
+    single-partition-safe), so no full-corpus data ever serializes
+    through one task, and the result is IDENTICAL to the global form
+    (the grouped gate hashes against the same global SQL oracle).
+    Without either parameter the plain global-order window runs — fine
+    below ~10M docs, a single-partition sort above."""
     n_tokens = F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    toks = documents.select("doc_id", n_tokens.alias("n_tokens"))
-    return toks.select(
+
+    if group_col is None and group_span is None:
+        toks = documents.select("doc_id", n_tokens.alias("n_tokens"))
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        out = toks
+    else:
+        grp = (
+            F.floor(F.col("doc_id") / group_span)
+            if group_col is None
+            else F.col(group_col)
+        )
+        g = documents.select(
+            "doc_id", n_tokens.alias("n_tokens"), grp.alias("_grp")
+        )
+        # tiny side: one row per group; its global-order window is the
+        # two-level-scan trick, not a corpus-wide sort
+        wg = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+        base = (
+            g.groupBy("_grp")
+            .agg(F.sum("n_tokens").alias("_grp_total"))
+            .select(
+                "_grp",
+                F.coalesce(F.sum("_grp_total").over(wg), F.lit(0)).alias("_base"),
+            )
+        )
+        # big side: per-group window, hash-partitioned on the group key
+        win = Window.partitionBy("_grp").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = F.col("_base") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        out = g.join(F.broadcast(base), "_grp")
+
+    return out.select(
         "doc_id",
         "n_tokens",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
-        ).cast("long").alias("pack_id"),
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) % budget)
-        .cast("long")
-        .alias("pack_offset"),
+        F.floor(cum / budget).cast("long").alias("pack_id"),
+        (cum % budget).cast("long").alias("pack_offset"),
     )
 
 
@@ -294,7 +338,9 @@ MIN_TOKENS = 30
 MAX_STOPWORD_RATIO = 0.12
 
 
-def prepare_training_corpus(documents: DataFrame) -> DataFrame:
+def prepare_training_corpus(
+    documents: DataFrame, broadcast_pairs: bool | None = True
+) -> DataFrame:
     """The end-to-end corpus gate: one verdict per document, first
     matching rule wins —
 
@@ -324,7 +370,7 @@ def prepare_training_corpus(documents: DataFrame) -> DataFrame:
         .withColumn("f_exact", F.lit(True))
     )
     near = (
-        duplicate_clusters(documents)
+        duplicate_clusters(documents, broadcast_pairs=broadcast_pairs)
         .filter(F.col("canonical_id") != F.col("doc_id"))
         .select("doc_id")
         .withColumn("f_near", F.lit(True))

@@ -221,8 +221,13 @@ WHERE l.doc_id < r.doc_id"""
     )
 
 
+# auto mode: force-broadcast the candidate set only below this many
+# pairs (~tens of MB of (a, b) keys); above it, shuffle hash join.
+BROADCAST_PAIRS_MAX = 2_000_000
+
+
 def ngram_jaccard(
-    documents: DataFrame, pairs: DataFrame, broadcast_pairs: bool = True
+    documents: DataFrame, pairs: DataFrame, broadcast_pairs: bool | None = True
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: |∩| / |∪| (double
     division of exact integers — bit-identical across engines). The
@@ -234,7 +239,12 @@ def ngram_jaccard(
     intersection joins (a sort-merge of the shingle table on the pair
     key would dominate the operator at scale). Pass
     ``broadcast_pairs=False`` if the candidate set outgrows the
-    broadcast threshold (shuffle hash join on doc id instead)."""
+    broadcast threshold (shuffle hash join on doc id instead), or
+    ``None`` to decide from a measured count (one extra action over a
+    checkpointed pair set — pay it when the size is unknown)."""
+    if broadcast_pairs is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        broadcast_pairs = pairs.count() <= BROADCAST_PAIRS_MAX
     tokset = doc_shingles(documents).distinct()
     sizes = tokset.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = tokset.select(F.col("doc_id").alias("a"), "shingle")

@@ -168,3 +168,63 @@ def test_corpus_prep_precedence(spark):
     assert got[2] == "low_quality"        # canonical judged on merits
     assert got[0] == "kept"
     assert got[4] == "kept"
+
+
+def test_grouped_packing_matches_global_without_global_sort(spark):
+    """The grouped running total (per-group window + prefix-summed
+    group bases) must reproduce the global layout exactly, while the
+    only single-partition exchange in its plan feeds the one-row-per-
+    group base window — never the full document scan."""
+    from pyspark.sql import functions as F
+
+    from ontology_loader_spark.operators.corpus import pack_documents
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 13) % 37 + 1)))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    glob = pack_documents(docs, budget=100)
+    grouped = pack_documents(docs, budget=100, group_span=32)
+    assert sorted(map(tuple, glob.collect())) == sorted(
+        map(tuple, grouped.collect()))
+
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    # big window is hash-partitioned on the group bucket
+    assert "hashpartitioning(_grp" in plan
+    # every single-partition exchange feeds directly from the
+    # one-row-per-group aggregate (bounded rows), never the corpus scan
+    lines = plan.splitlines()
+    sp_idx = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert sp_idx  # the tiny base window does exist
+    for i in sp_idx:
+        child = "\n".join(lines[i + 1:i + 4])
+        assert "HashAggregate" in child, child
+    # custom monotone group column path agrees too
+    via_col = pack_documents(
+        docs.withColumn("bucket64", F.floor(F.col("doc_id") / 64)),
+        budget=100, group_col="bucket64",
+    )
+    assert sorted(map(tuple, glob.collect())) == sorted(
+        map(tuple, via_col.collect()))
+
+
+def test_ngram_jaccard_auto_broadcast_mode(spark):
+    """broadcast_pairs=None measures the candidate set: small sets
+    broadcast (plan contains a broadcast join on the pair key), and the
+    result is identical across True/False/None modes."""
+    from ontology_loader_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard,
+    )
+
+    text = " ".join(f"tok{j} common words here" for j in range(12))
+    rows = [(i, text + (f" extra{i}" if i % 2 else "")) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+
+    outs = [
+        sorted(map(tuple, ngram_jaccard(docs, pairs, broadcast_pairs=m).collect()))
+        for m in (True, False, None)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
