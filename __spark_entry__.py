@@ -52,7 +52,7 @@ from ontology_loader_spark.transcripts.mentions import (
 from ontology_loader_spark.transcripts.ordering import with_turn_order
 from ontology_loader_spark.transcripts.unionfind import (
     comention_pairs,
-    connected_components,
+    connected_components_auto,
 )
 
 ONT = derive.ONT
@@ -289,7 +289,7 @@ def q_union_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = derive.derive_mention_dict(spark, sf_dir)
     mentions = detect_mentions(spark, tr, md).localCheckpoint(eager=True)
     nodes = mentions.select(F.col("term_id").alias("node")).distinct()
-    comps = connected_components(nodes, comention_pairs(mentions))
+    comps = connected_components_auto(nodes, comention_pairs(mentions))
     return comps.select(F.col("node").alias("term_id"), "component")
 
 

@@ -40,17 +40,21 @@ def duplicate_clusters(
     canonical = min doc_id per component. Output
     (doc_id, canonical_id); singletons map to themselves.
 
-    This is the corpus-scale consumer of ``connected_components`` —
-    the dup graph grows with the corpus, so the iterative min-label
-    variant (size-aware partitioning) is used, never the driver
-    union-find.
+    Component resolution auto-dispatches on the MEASURED verified-pair
+    count (``connected_components_auto``): bounded dup graphs take the
+    driver-dict path (zero fixpoint iterations; only pairs collect —
+    the corpus-scale node set stays distributed), and a dup graph that
+    grows with the corpus falls over to the iterative min-label
+    variant (size-aware partitioning, never collects).
 
     ``broadcast_pairs`` is forwarded to :func:`ngram_jaccard`: the
     default force-broadcasts the max_bucket-capped candidate set
     (right for gate/typical scales); pass ``False`` when the capped
     set is still beyond the broadcast threshold, or ``None`` to let
     ``ngram_jaccard`` decide from a measured pair count."""
-    from ontology_loader_spark.transcripts.unionfind import connected_components
+    from ontology_loader_spark.transcripts.unionfind import (
+        connected_components_auto,
+    )
 
     pairs = ngram_jaccard(
         documents,
@@ -61,7 +65,7 @@ def duplicate_clusters(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     nodes = documents.select(F.col("doc_id").alias("node"))
-    comps = connected_components(nodes, sym.distinct())
+    comps = connected_components_auto(nodes, sym.distinct())
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )

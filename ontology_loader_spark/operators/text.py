@@ -206,12 +206,18 @@ FROM documents d LEFT JOIN bag b ON b.doc_id = d.doc_id"""
 
 BENCH_MOD = 25          # doc_id % 25 == 0 -> the pseudo-benchmark set
 CONTAM_MIN_SHARED = 20  # shared winnowing fingerprints to flag overlap
+# fingerprints present in more than this many benchmark docs are
+# boilerplate (shared footers, license headers) — they multiply join
+# output without carrying contamination signal, so they are dropped
+# before the join (the LSH hot-bucket cap's analog for this operator)
+CONTAM_MAX_BENCH_DOCS = 10
 
 
 def benchmark_contamination(
     documents: DataFrame,
     bench_mod: int = BENCH_MOD,
     min_shared: int = CONTAM_MIN_SHARED,
+    max_bench_docs: int = CONTAM_MAX_BENCH_DOCS,
 ) -> DataFrame:
     """Decontamination: flag training docs sharing at least
     ``min_shared`` winnowing fingerprints with any benchmark doc —
@@ -221,7 +227,13 @@ def benchmark_contamination(
     Scale shape: the fingerprint join keys on the (uniform) rolling
     hash; the benchmark side is tiny relative to the corpus and
     broadcasts; per-pair counting is one map-side-combinable groupBy.
-    Here the benchmark set is carved from the corpus by a
+    ``max_bench_docs`` is the frequency cap: a fingerprint shared by
+    more than that many benchmark docs is ubiquitous boilerplate — each
+    such fingerprint multiplies join output by its benchmark frequency
+    × its corpus frequency, so dropping them bounds the join fan-out;
+    a genuine copy of one benchmark doc still shares plenty of sub-cap
+    fingerprints. The cap is computed on the (tiny) benchmark side
+    only. Here the benchmark set is carved from the corpus by a
     deterministic modulus so both engines see the same split; in
     production it is its own table. Output
     (doc_id, bench_id, n_shared)."""
@@ -229,6 +241,13 @@ def benchmark_contamination(
     bench = fp.filter(F.col("doc_id") % bench_mod == 0).select(
         F.col("doc_id").alias("bench_id"), "fingerprint"
     )
+    rare = (
+        bench.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_bench"))
+        .filter(F.col("n_bench") <= max_bench_docs)
+        .select("fingerprint")
+    )
+    bench = bench.join(F.broadcast(rare), "fingerprint", "left_semi")
     train = fp.filter(F.col("doc_id") % bench_mod != 0)
     return (
         train.join(F.broadcast(bench), "fingerprint")
@@ -239,7 +258,9 @@ def benchmark_contamination(
 
 
 def benchmark_contamination_sql(
-    bench_mod: int = BENCH_MOD, min_shared: int = CONTAM_MIN_SHARED
+    bench_mod: int = BENCH_MOD,
+    min_shared: int = CONTAM_MIN_SHARED,
+    max_bench_docs: int = CONTAM_MAX_BENCH_DOCS,
 ) -> str:
     from ontology_loader_spark.operators.dedup import _hex4_sql
 
@@ -260,8 +281,12 @@ fp AS (
     AS fingerprint
   FROM grams
 ),
-bench AS (SELECT doc_id AS bench_id, fingerprint FROM fp
-          WHERE doc_id % {bench_mod} = 0),
+bench_all AS (SELECT doc_id AS bench_id, fingerprint FROM fp
+              WHERE doc_id % {bench_mod} = 0),
+rare AS (SELECT fingerprint FROM bench_all
+         GROUP BY fingerprint HAVING COUNT(*) <= {max_bench_docs}),
+bench AS (SELECT b.* FROM bench_all b
+          JOIN rare r ON r.fingerprint = b.fingerprint),
 train AS (SELECT * FROM fp WHERE doc_id % {bench_mod} <> 0)
 SELECT t.doc_id AS doc_id, b.bench_id AS bench_id,
        COUNT(*) AS n_shared

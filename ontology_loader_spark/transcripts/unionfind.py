@@ -36,18 +36,22 @@ def comention_pairs(mentions: DataFrame) -> DataFrame:
 
 
 def connected_components_dict_bounded(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Union-find for DICTIONARY-BOUNDED graphs: the distinct pair set
-    over ontology terms is bounded by the dictionary size (≤ millions),
-    not the corpus — Spark does the heavy dedup (``pairs`` must already
-    be distinct), the driver runs classic path-compressed union-find on
-    the collected pairs, and the labels broadcast back. This removes
-    O(diameter) driver-loop latency entirely; use the iterative
-    ``connected_components`` when the node set scales with the corpus
-    (e.g. document-dedup graphs)."""
+    """Union-find for graphs whose EDGE set is dictionary-bounded: the
+    distinct pair set over ontology terms is bounded by the dictionary
+    size (≤ millions), not the corpus — Spark does the heavy dedup
+    (``pairs`` must already be distinct), the driver runs classic
+    path-compressed union-find on the collected pairs, and the label
+    map (≤ |pair nodes| rows) broadcasts back against the node set.
+    Only PAIRS are ever collected — the node set stays distributed
+    (nodes untouched by any pair are their own component via the
+    left-join coalesce), so a corpus-scale node set with a bounded dup
+    graph is fine here. This removes O(diameter) driver-loop latency
+    entirely; use the iterative ``connected_components`` when the pair
+    set itself scales with the corpus."""
     spark = nodes.sparkSession
-    parent: dict[str, str] = {}
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -62,9 +66,38 @@ def connected_components_dict_bounded(nodes: DataFrame, pairs: DataFrame) -> Dat
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
 
-    node_list = [r["node"] for r in nodes.select("node").collect()]
-    rows = [(n, find(n)) for n in node_list]
-    return spark.createDataFrame(rows, "node string, component string")
+    touched = sorted(set(parent) | {find(x) for x in list(parent)})
+    node_type = nodes.schema["node"].dataType.simpleString()
+    mapping = spark.createDataFrame(
+        [(n, find(n)) for n in touched] or [(None, None)],
+        f"node {node_type}, mapped {node_type}",
+    )
+    if not touched:
+        mapping = mapping.filter(F.col("node").isNotNull())
+    return nodes.join(F.broadcast(mapping), "node", "left").select(
+        "node", F.coalesce("mapped", "node").alias("component")
+    )
+
+
+# auto-dispatch bound: distinct pairs up to this count are collected
+# to a driver dict (path-compressed union-find, zero fixpoint
+# iterations); above it, the iterative min-label propagation runs.
+DICT_PAIRS_MAX = 2_000_000
+
+
+def connected_components_auto(
+    nodes: DataFrame, pairs: DataFrame, dict_pairs_max: int = DICT_PAIRS_MAX
+) -> DataFrame:
+    """Dispatch by MEASURED distinct-pair count instead of caller
+    knowledge: one count over the checkpointed pair set picks the
+    driver-dict variant (bounded graphs — removes O(diameter) driver
+    loops) or the distributed iterative variant (corpus-scale graphs —
+    never collects). Callers that already know their graph's shape can
+    call either variant directly and skip the count action."""
+    pairs = pairs.localCheckpoint(eager=True)
+    if pairs.count() <= dict_pairs_max:
+        return connected_components_dict_bounded(nodes, pairs)
+    return connected_components(nodes, pairs)
 
 
 def connected_components(

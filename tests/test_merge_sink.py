@@ -67,3 +67,144 @@ def test_execute_without_catalog_raises(spark):
     assert not catalog_configured(spark, "nosuchcatalog")
     with pytest.raises(RuntimeError, match="no Iceberg catalog"):
         execute(spark, "nosuchcatalog")
+
+
+def _rel(s, p, o):
+    return {"subject": s, "predicate": p, "object": o,
+            "type": "nmdc:OntologyRelation"}
+
+
+def _cls(id_, name, definition="", alt=(), relations=(), is_root=False,
+         is_obsolete=False):
+    return {
+        "id": id_, "type": "nmdc:OntologyClass",
+        "alternative_names": list(alt), "definition": definition,
+        "relations": list(relations), "is_root": is_root,
+        "is_obsolete": is_obsolete, "name": name,
+    }
+
+
+def test_merge_program_end_state_equals_reconcile(spark, tmp_path):
+    """Execute the generated MERGE program's SQL TEXT (translated
+    statement-by-statement to DuckDB UPDATE/DELETE/INSERT — DuckDB has
+    no MERGE) against a seeded store, and require the end state to
+    equal the DataFrame reconcile() twin on the same inputs. This pins
+    the statement semantics — Q5 order, obsolete handling with
+    subject+object relation deletes and Q5 delete-then-reinsert, the
+    Q9 null-safe diff gate, F2 validity filter, (s,p,o)-keyed dedup —
+    at the SQL-text level, not just the algebra twin. (Q11's dup-id
+    skip needs a duplicate-id store, whose reference semantics are
+    iteration-order accidents — it stays pinned by the class_cdc /
+    obsolete gates and the SQL-text assertion above.)"""
+    import duckdb
+
+    from ontology_loader_spark.operators.reconcile import reconcile
+    from ontology_loader_spark.schemas import (
+        ONTOLOGY_CLASS_SCHEMA,
+        RELATION_SCHEMA,
+    )
+    from ontology_loader_spark.testing.merge_sim import run_program
+
+    prior_cls = spark.createDataFrame(
+        [
+            _cls("X:1", "one", "d1", alt=["o"], relations=[_rel("X:1", "p", "X:2")]),
+            _cls("X:2", "two", "d2"),
+            _cls("X:3", "three", "d3", relations=[_rel("X:3", "p", "X:1")]),
+            _cls("X:4", "four", "d4", is_root=True),
+        ],
+        ONTOLOGY_CLASS_SCHEMA,
+    )
+    incoming_cls = spark.createDataFrame(
+        [
+            _cls("X:1", "one", "d1", alt=["o"], relations=[_rel("X:1", "p", "X:2")]),
+            _cls("X:2", "two RENAMED", "d2"),      # Q9 diff -> update
+            _cls("X:3", "three", "d3", is_obsolete=True),
+            _cls("X:5", "five", "d5"),             # new -> insert
+        ],
+        ONTOLOGY_CLASS_SCHEMA,
+    )
+    prior_rel = spark.createDataFrame(
+        [
+            ("X:1", "p", "X:2", "nmdc:OntologyRelation"),
+            ("X:3", "p", "X:1", "nmdc:OntologyRelation"),  # subject obsolete
+            ("X:4", "p", "X:3", "nmdc:OntologyRelation"),  # object obsolete
+            ("X:4", "p", "X:1", "nmdc:OntologyRelation"),
+        ],
+        RELATION_SCHEMA,
+    )
+    incoming_rel = spark.createDataFrame(
+        [
+            ("X:3", "p", "X:9", "nmdc:OntologyRelation"),  # reinsert on obsolete
+            ("X:1", "p", "X:2", "nmdc:OntologyRelation"),  # dup of stored
+            ("X:1", "p", "X:2", "nmdc:OntologyRelation"),  # bag dup
+            ("", "p", "X:2", "nmdc:OntologyRelation"),     # F2 invalid
+            ("X:5", "", "X:1", "nmdc:OntologyRelation"),   # F2 invalid
+            ("X:5", "p", "X:1", "nmdc:OntologyRelation"),
+        ],
+        RELATION_SCHEMA,
+    )
+
+    rec = reconcile(incoming_cls, incoming_rel, prior_cls, prior_rel,
+                    assume_unique_ids=True)
+
+    paths = {}
+    for nm, df in (("prior_cls", prior_cls), ("prior_rel", prior_rel),
+                   ("inc_cls", incoming_cls), ("inc_rel", incoming_rel)):
+        p = str(tmp_path / nm)
+        df.coalesce(1).write.parquet(p)
+        paths[nm] = p + "/*.parquet"
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA kg")
+    con.execute("CREATE TABLE memory.kg.ontology_class_set AS "
+                f"SELECT * FROM read_parquet('{paths['prior_cls']}')")
+    con.execute("CREATE TABLE memory.kg.ontology_relation_set AS "
+                f"SELECT * FROM read_parquet('{paths['prior_rel']}')")
+    con.execute("CREATE VIEW incoming_classes AS "
+                f"SELECT * FROM read_parquet('{paths['inc_cls']}')")
+    con.execute("CREATE VIEW incoming_relations AS "
+                f"SELECT * FROM read_parquet('{paths['inc_rel']}')")
+
+    executed = run_program(con, merge_statements("memory", "kg"))
+    assert len(executed) >= 6  # 5 MERGEs; m2/m3 split into two each
+
+    def norm_rel_list(rels):
+        return tuple(
+            (r["subject"], r["predicate"], r["object"], r["type"])
+            if isinstance(r, dict)
+            else (r.subject, r.predicate, r.object, r.type)
+            for r in rels
+        )
+
+    duck_cls = sorted(
+        (r[0], r[1], tuple(r[2]), r[3], norm_rel_list(r[4]), r[5], r[6], r[7])
+        for r in con.execute(
+            "SELECT id, type, alternative_names, definition, relations, "
+            "is_root, is_obsolete, name FROM memory.kg.ontology_class_set"
+        ).fetchall()
+    )
+    spark_cls = sorted(
+        (r.id, r.type, tuple(r.alternative_names), r.definition,
+         norm_rel_list(r.relations), r.is_root, r.is_obsolete, r.name)
+        for r in rec.class_state.collect()
+    )
+    assert duck_cls == spark_cls
+
+    duck_rel = sorted(map(tuple, con.execute(
+        "SELECT subject, predicate, object, type "
+        "FROM memory.kg.ontology_relation_set").fetchall()))
+    spark_rel = sorted(
+        (r.subject, r.predicate, r.object, r.type)
+        for r in rec.relation_state.collect()
+    )
+    assert duck_rel == spark_rel
+
+    # the interesting end-state facts, asserted directly as well
+    state = dict((t[0], t) for t in duck_cls)
+    assert state["X:3"][6] is True and state["X:3"][4] == ()   # obsoleted, []
+    assert state["X:2"][7] == "two RENAMED"
+    assert "X:5" in state
+    assert ("X:3", "p", "X:1", "nmdc:OntologyRelation") not in duck_rel
+    assert ("X:4", "p", "X:3", "nmdc:OntologyRelation") not in duck_rel
+    assert ("X:3", "p", "X:9", "nmdc:OntologyRelation") in duck_rel
+    assert sum(1 for t in duck_rel if t[:3] == ("X:1", "p", "X:2")) == 1

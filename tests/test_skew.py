@@ -147,3 +147,33 @@ def test_lsh_topk_hot_bucket_cap(spark):
     per_q = {q: sum(1 for r in got if r["query_id"] == q)
              for q in (0, 100, 200)}
     assert per_q == {0: k, 100: k, 200: k}
+
+
+def test_contamination_frequency_cap(spark):
+    """Boilerplate footer shared by EVERY doc: its fingerprints land in
+    all benchmark docs and would multiply the join by n_bench × n_train
+    without the frequency cap. With the cap, boilerplate-only docs are
+    not flagged while a genuine copy of a benchmark doc still is."""
+    from ontology_loader_spark.operators.text import benchmark_contamination
+
+    footer = ("copyright two thousand twenty six all rights reserved "
+              "terms of service privacy policy contact us about careers")
+    n = 100
+    rows = []
+    for i in range(n):
+        body = " ".join(f"unique{i}w{j}" for j in range(40))
+        rows.append((i, f"{body} {footer}"))
+    # doc 51 is a verbatim copy of benchmark doc 50 (50 % 25 == 0)
+    rows[51] = (51, rows[50][1])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    flagged = benchmark_contamination(docs, max_bench_docs=2).collect()
+    hits = {(r["doc_id"], r["bench_id"]) for r in flagged}
+    assert (51, 50) in hits
+    # boilerplate alone flags nobody else
+    assert hits == {(51, 50)}
+
+    # without the cap the ubiquitous footer fingerprints flag a swath
+    # of unrelated (train, bench) pairs
+    uncapped = benchmark_contamination(docs, max_bench_docs=10**9).count()
+    assert uncapped > len(hits)

@@ -170,3 +170,36 @@ def test_sharded_detection_large_dictionary(spark):
                                             n_salt=2).collect()}
     want = {(f"c{i}", f"T:{i * 97 % n_terms}") for i in range(300)}
     assert got == want
+
+
+def test_union_find_auto_dispatch_parity(spark):
+    """Auto-dispatch picks the variant from the measured pair count;
+    all three variants agree (min-label parity), including the
+    long-typed node domain and nodes untouched by any pair."""
+    from ontology_loader_spark.transcripts.unionfind import (
+        connected_components,
+        connected_components_auto,
+        connected_components_dict_bounded,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (7, 9), (9, 7)], "u long, v long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9, 42)],
+                                  "node long")
+    expect = {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 42: 42}
+    for comps_df in (
+        connected_components(nodes, pairs),
+        connected_components_dict_bounded(nodes, pairs),
+        connected_components_auto(nodes, pairs),             # dict path
+        connected_components_auto(nodes, pairs, dict_pairs_max=0),  # iterative
+    ):
+        got = {r["node"]: r["component"] for r in comps_df.collect()}
+        assert got == expect
+
+    # empty pair set: every node is its own component on both paths
+    empty = spark.createDataFrame([], "u long, v long")
+    for df in (connected_components_auto(nodes, empty),
+               connected_components_dict_bounded(nodes, empty)):
+        assert {r["node"]: r["component"] for r in df.collect()} == {
+            i: i for i in (1, 2, 3, 7, 9, 42)}
