@@ -369,6 +369,18 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.corpus import pii_scrub
 
@@ -456,6 +468,23 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.events import tumbling_window_stats
 
     return tumbling_window_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join as one (user_id)-partitioned window pass; the oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN — two independent algorithms."""
+    from ontology_loader_spark.operators.events import asof_join
+
+    return asof_join(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join as a bucketed hash equi-join (≤2×
+    fan-out) + residual filter; the oracle is DuckDB's native
+    inequality join."""
+    from ontology_loader_spark.operators.events import range_join_window_counts
+
+    return range_join_window_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,11 +580,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_plan": q_multimodal_resize_plan,
         "event_sessionization": q_event_sessionization,
         "event_window_stats": q_event_window_stats,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "token_stats": q_token_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "doc_packing": q_doc_packing,
         "doc_packing_grouped": q_doc_packing_grouped,
@@ -609,11 +642,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_plan": _multimodal.resize_plan_sql(),
         "event_sessionization": _events.sessionize_sql(),
         "event_window_stats": _events.tumbling_window_stats_sql(),
+        "asof_join": _events.asof_join_sql(),
+        "range_join": _events.range_join_window_counts_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),
         "token_stats": _text.token_stats_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),
+        "stratified_sample": _corpus.stratified_sample_sql(),
+        "repetition_stats": _text.repetition_stats_sql(),
         "pii_scrub": _corpus.pii_scrub_sql(),
         "doc_packing": _corpus.pack_documents_sql(),
         "doc_packing_grouped": _corpus.pack_documents_sql(),

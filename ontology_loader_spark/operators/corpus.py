@@ -134,6 +134,60 @@ SELECT {key},
 FROM documents"""
 
 
+# ---------------------------------------------- domain-mix resampling
+
+#: per-domain keep rates in the exact hex4 space (x/65536) — the gate
+#: uses a doc_id modulus as the stand-in domain; production passes a
+#: real domain column and its mixing weights
+DOMAIN_MOD = 4
+DOMAIN_RATES = (65536, 32768, 16384, 8192)  # 1, 1/2, 1/4, 1/8
+
+
+def stratified_sample(
+    documents: DataFrame,
+    key: str = "doc_id",
+    domain_mod: int = DOMAIN_MOD,
+    rates: tuple[int, ...] = DOMAIN_RATES,
+) -> DataFrame:
+    """Deterministic importance resampling for domain mixing: each
+    document keeps with its domain's target rate, decided by an
+    engine-independent hash cut (first 4 md5 hex digits of the key,
+    salted by 'mix:', against ``rates[domain]/65536``). A pure
+    projection — no shuffle, no RNG, reproducible across engines,
+    cluster sizes, and reruns; rates are exact multiples of 1/65536 so
+    the expected mix is exact. Output (key, domain, kept).
+
+    The same cut-hash family as :func:`train_test_split` but a
+    DIFFERENT salt: sampling decisions must be independent of split
+    decisions or the test split would be biased toward kept domains."""
+    domain = (F.col(key) % domain_mod).cast("int")
+    h = _hex4_spark(F.md5(F.concat(F.lit("mix:"), F.col(key).cast("string"))))
+    cut = F.element_at(
+        F.array(*[F.lit(r) for r in rates]), domain + 1
+    )
+    return documents.select(
+        F.col(key),
+        domain.alias("domain"),
+        (h < cut).alias("kept"),
+    )
+
+
+def stratified_sample_sql(
+    key: str = "doc_id",
+    domain_mod: int = DOMAIN_MOD,
+    rates: tuple[int, ...] = DOMAIN_RATES,
+) -> str:
+    h = _hex4_sql(f"md5('mix:' || CAST({key} AS VARCHAR))")
+    cases = " ".join(
+        f"WHEN {d} THEN {r}" for d, r in enumerate(rates)
+    )
+    return f"""
+SELECT {key},
+  CAST({key} % {domain_mod} AS INTEGER) AS domain,
+  {h} < (CASE CAST({key} % {domain_mod} AS INTEGER) {cases} END) AS kept
+FROM documents"""
+
+
 # -------------------------------------------------------- PII scrub
 
 #: deliberately simple character-class patterns — identical semantics

@@ -101,3 +101,193 @@ SELECT CAST(FLOOR(epoch(ts) / {secs}) * {secs} AS BIGINT) AS window_start_epoch,
          AS sum_value_cents
 FROM events
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------------ as-of join
+
+ASOF_LEFT_TYPE = "click"
+ASOF_RIGHT_TYPE = "view"
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> DataFrame:
+    """As-of join — an operator Spark's DataFrame API lacks: for each
+    ``left_type`` event, the most recent ``right_type`` event of the
+    same user with ``right.ts <= left.ts`` (inclusive). Output
+    (l_event_id, user_id, l_ts, l_value, r_event_id, r_value);
+    unmatched lefts keep NULL right columns (left semantics).
+
+    Spark-first shape: NOT a join at all. A naive formulation
+    (``right.ts <= left.ts`` + per-left max) plans as a broadcast
+    nested loop plus a re-aggregation; instead both streams union into
+    one (user_id)-partitioned stream ordered by (ts, side, event_id)
+    — right rows sort BEFORE left rows at equal ts, giving the
+    inclusive bound — and a running ``last(..., ignorenulls)`` carries
+    the latest right row forward. One shuffle on user_id, fully
+    codegen'd, linear in |events| (the classic sort-merge as-of, as a
+    window). Right rows sharing an exact (user_id, ts) collapse to the
+    max event_id first so the match is well-defined (DuckDB's native
+    ``ASOF JOIN`` — the independent oracle — requires the same).
+
+    Per-user event counts are Zipf-ish but sessions of one user never
+    shuffle apart; AQE's skew split handles hot users."""
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "event_id",
+            "value",
+        )
+    )
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_right = F.col("side") == 0
+    return (
+        right.unionByName(left)
+        .withColumn(
+            "r_event_id",
+            F.last(F.when(is_right, F.col("event_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "r_value",
+            F.last(F.when(is_right, F.col("value")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            "user_id",
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+            "r_event_id",
+            "r_value",
+        )
+    )
+
+
+def asof_join_sql(
+    left_type: str = ASOF_LEFT_TYPE, right_type: str = ASOF_RIGHT_TYPE
+) -> str:
+    """Independent oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` (a
+    different algorithm than the window formulation)."""
+    return f"""
+WITH rgt AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS _rn
+    FROM events WHERE event_type = '{right_type}'
+  ) WHERE _rn = 1
+),
+lft AS (SELECT * FROM events WHERE event_type = '{left_type}')
+SELECT l.event_id AS l_event_id, l.user_id AS user_id, l.ts AS l_ts,
+       l.value AS l_value, r.event_id AS r_event_id, r.value AS r_value
+FROM lft l ASOF LEFT JOIN rgt r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+# ------------------------------------------------------------ range join
+
+RANGE_WINDOW_MIN = 30
+
+
+def range_join_window_counts(
+    events: DataFrame,
+    interval_type: str = "error",
+    probe_type: str = "click",
+    window_min: int = RANGE_WINDOW_MIN,
+) -> DataFrame:
+    """Range (interval) join: per ``interval_type`` event, count and
+    sum the ``probe_type`` events of the same user inside
+    ``[ts, ts + window_min)``. Output
+    (int_id, n_probe_events, sum_value_cents).
+
+    Spark-first shape: Catalyst plans a raw
+    ``p.ts >= i.t0 AND p.ts < i.t1`` join as a nested loop —
+    O(|intervals| · |probes|). Because every interval has bounded
+    length, it decomposes EXACTLY into two ``window_min``-granularity
+    epoch buckets (floor(t0/g) and floor(t1/g)); probes carry their
+    single bucket, the join runs as a plain (user_id, bucket) hash
+    equi-join with ≤2× interval fan-out, and the range predicate is a
+    residual filter. Each probe's one bucket row meets at most one of
+    an interval's two bucket rows, so no dedup pass is needed. Sums
+    are exact integer cents (engine-order-independent)."""
+    sec = window_min * 60
+    ints = events.filter(F.col("event_type") == interval_type).select(
+        F.col("event_id").alias("int_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr(f"INTERVAL {window_min} MINUTES")).alias("t1"),
+    )
+    ib = ints.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(_epoch_sec("t0") / sec).cast("long"),
+                    F.floor(_epoch_sec("t1") / sec).cast("long"),
+                )
+            )
+        ),
+    )
+    probes = events.filter(F.col("event_type") == probe_type).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.floor(_epoch_sec("ts") / sec).cast("long").alias("bucket"),
+    )
+    hits = (
+        # interval side builds (shuffle-hash: no sort on either
+        # event-scale side; ≤2× fan-out keeps the build bounded)
+        ib.hint("shuffle_hash").join(probes, ["user_id", "bucket"])
+        .filter((F.col("p_ts") >= F.col("t0")) & (F.col("p_ts") < F.col("t1")))
+        .groupBy("int_id")
+        .agg(
+            F.count("*").alias("n_probe_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+    return (
+        ints.select("int_id")
+        # hits ≤ one row per interval — hash-build it for the
+        # zero-match left join too
+        .join(hits.hint("shuffle_hash"), "int_id", "left")
+        .na.fill({"n_probe_events": 0, "sum_value_cents": 0})
+    )
+
+
+def range_join_window_counts_sql(
+    interval_type: str = "error",
+    probe_type: str = "click",
+    window_min: int = RANGE_WINDOW_MIN,
+) -> str:
+    """Independent oracle: the plain inequality join DuckDB executes
+    natively (its IEJoin handles ranges without the bucket trick)."""
+    return f"""
+WITH ints AS (
+  SELECT event_id AS int_id, user_id, ts AS t0,
+         ts + INTERVAL {window_min} MINUTE AS t1
+  FROM events WHERE event_type = '{interval_type}'
+),
+probes AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = '{probe_type}'
+)
+SELECT i.int_id,
+       COUNT(p.user_id) AS n_probe_events,
+       COALESCE(CAST(SUM(p.cents) AS BIGINT), 0) AS sum_value_cents
+FROM ints i LEFT JOIN probes p
+  ON p.user_id = i.user_id AND p.ts >= i.t0 AND p.ts < i.t1
+GROUP BY i.int_id"""

@@ -176,8 +176,13 @@ def apply_relation_upserts(relation_state: DataFrame, incoming: DataFrame) -> Da
     no incoming match survive; end state distinct on the key
     (``mongodb_loader.py:64``)."""
     inc = incoming.dropDuplicates(["subject", "predicate", "object"])
+    # both sides are relation-set-scale: shuffle-hash (sorts neither
+    # side; the build side is one shuffle partition of the incoming
+    # key set) beats a sort-merge here, and AQE still downgrades to
+    # broadcast when a side turns out tiny (e.g. first-load empty
+    # prior)
     kept = relation_state.join(
-        inc.select("subject", "predicate", "object"),
+        inc.select("subject", "predicate", "object").hint("shuffle_hash"),
         ["subject", "predicate", "object"],
         "left_anti",
     )

@@ -177,6 +177,88 @@ SELECT doc_id,
 FROM documents"""
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, exactly computable:
+
+    - ``shingle_rep_ratio``: fraction of 3-token shingles that are
+      repeats of an earlier shingle (1 − distinct/total) — the
+      "duplicate n-gram fraction" rule;
+    - ``top_token_ratio``: the most frequent token's share of all
+      tokens — the "top word dominates" rule.
+
+    Both are exact-integer ratios divided once in doubles
+    (engine-order-independent). Two map-side-combinable aggregations
+    keyed on doc_id; the per-(doc, token) counts shuffle on a
+    well-spread composite key. Docs shorter than one shingle report 0
+    repetition. Output (doc_id, n_shingles, shingle_rep_ratio,
+    top_token_ratio)."""
+    from ontology_loader_spark.operators.dedup import doc_shingles, doc_tokens
+
+    sh = doc_shingles(documents).groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    tok_counts = (
+        doc_tokens(documents)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(sh, "doc_id", "left")
+        .join(tok_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.when(
+                F.col("n_shingles").isNull() | (F.col("n_shingles") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                (F.col("n_shingles") - F.col("n_distinct")).cast("double")
+                / F.col("n_shingles").cast("double")
+            )
+            .alias("shingle_rep_ratio"),
+            F.when(F.col("n_tok").isNull(), F.lit(0.0))
+            .otherwise(F.col("top_c").cast("double") / F.col("n_tok").cast("double"))
+            .alias("top_token_ratio"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    from ontology_loader_spark.operators.dedup import (
+        DOC_SHINGLES_CTE,
+        DOC_TOKENS_CTE,
+    )
+
+    return (
+        "WITH " + DOC_SHINGLES_CTE.strip() + "," + DOC_TOKENS_CTE.strip() + """,
+sh AS (
+  SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS n_distinct
+  FROM doc_shingles GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM doc_tokens GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CASE WHEN s.n_shingles IS NULL OR s.n_shingles = 0 THEN 0.0
+       ELSE CAST(s.n_shingles - s.n_distinct AS DOUBLE)
+            / CAST(s.n_shingles AS DOUBLE) END AS shingle_rep_ratio,
+  CASE WHEN t.n_tok IS NULL THEN 0.0
+       ELSE CAST(t.top_c AS DOUBLE) / CAST(t.n_tok AS DOUBLE) END
+    AS top_token_ratio
+FROM documents d
+LEFT JOIN sh s ON s.doc_id = d.doc_id
+LEFT JOIN tc t ON t.doc_id = d.doc_id"""
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Two fingerprints per doc: content digest (md5 of raw text) and
     an order-insensitive bag fingerprint (md5 of the sorted distinct

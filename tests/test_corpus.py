@@ -228,3 +228,52 @@ def test_ngram_jaccard_auto_broadcast_mode(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 0
+
+
+def test_repetition_stats_fixture(spark):
+    from ontology_loader_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a b c a b c a b c"),   # shingles: 7 total, 3 distinct
+        (1, "w x y z"),             # 2 shingles, no repeats
+        (2, "q q q q"),             # one token repeated
+        (3, "hi"),                  # under one shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_shingles"] == 7
+    assert got[0]["shingle_rep_ratio"] == (7 - 3) / 7
+    assert got[0]["top_token_ratio"] == 3 / 9
+    assert got[1]["shingle_rep_ratio"] == 0.0
+    assert got[1]["top_token_ratio"] == 0.25
+    assert got[2]["shingle_rep_ratio"] == (2 - 1) / 2
+    assert got[2]["top_token_ratio"] == 1.0
+    assert got[3]["n_shingles"] == 0 and got[3]["shingle_rep_ratio"] == 0.0
+
+
+def test_stratified_sample_rates_and_salt_independence(spark):
+    from ontology_loader_spark.operators.corpus import (
+        stratified_sample,
+        train_test_split,
+    )
+
+    n = 4000
+    docs = spark.createDataFrame([(i, "t") for i in range(n)],
+                                 "doc_id long, text string")
+    got = stratified_sample(docs).collect()
+    assert len(got) == n
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["kept"])
+    rates = {d: sum(ks) / len(ks) for d, ks in by_dom.items()}
+    for d, target in ((0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125)):
+        assert abs(rates[d] - target) < 0.06, (d, rates[d])
+    # domain 0 keeps everything exactly (rate 65536/65536)
+    assert rates[0] == 1.0
+
+    # sampling must be independent of the split hash (different salt):
+    # among kept docs the test fraction stays ~1/8, not skewed
+    split = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    kept_ids = [r["doc_id"] for r in got if r["kept"]]
+    test_frac = sum(1 for i in kept_ids if split[i] == "test") / len(kept_ids)
+    assert abs(test_frac - 0.125) < 0.04
