@@ -394,6 +394,11 @@ FROM starts"""
 
 MIN_TOKENS = 30
 MAX_STOPWORD_RATIO = 0.12
+MAX_SHINGLE_REP = 0.2   # Gopher-style duplicate-3-gram fraction ceiling
+MAX_TOP_TOKEN = 0.2     # most frequent token's share ceiling
+# the repetition rule only applies above a length floor — short docs
+# trivially max the top-token share and belong to the low_quality rule
+REP_MIN_SHINGLES = MIN_TOKENS - 2
 
 
 def prepare_training_corpus(
@@ -407,9 +412,12 @@ def prepare_training_corpus(
                            duplicate cluster
     3. ``contaminated``  — shares ≥K winnowing fingerprints with a
                            benchmark doc
-    4. ``low_quality``   — under the token floor or over the stopword
+    4. ``repetitive``    — Gopher-style repetition rule: duplicate
+                           3-gram fraction or top-token share over the
                            ceiling
-    5. ``kept``
+    5. ``low_quality``   — under the token floor or over the stopword
+                           ceiling
+    6. ``kept``
 
     Composition of the individually-gate-verified operators; each
     stage's side is a (doc_id)-keyed set that broadcasts against the
@@ -418,6 +426,7 @@ def prepare_training_corpus(
     from ontology_loader_spark.operators.dedup import exact_duplicates
     from ontology_loader_spark.operators.text import (
         benchmark_contamination,
+        repetition_stats,
         text_quality,
     )
 
@@ -439,6 +448,18 @@ def prepare_training_corpus(
         .distinct()
         .withColumn("f_contam", F.lit(True))
     )
+    rep = (
+        repetition_stats(documents)
+        .filter(
+            (F.col("n_shingles") >= REP_MIN_SHINGLES)
+            & (
+                (F.col("shingle_rep_ratio") > MAX_SHINGLE_REP)
+                | (F.col("top_token_ratio") > MAX_TOP_TOKEN)
+            )
+        )
+        .select("doc_id")
+        .withColumn("f_rep", F.lit(True))
+    )
     lowq = (
         text_quality(documents)
         .filter(
@@ -453,12 +474,14 @@ def prepare_training_corpus(
         .join(F.broadcast(exact), "doc_id", "left")
         .join(F.broadcast(near), "doc_id", "left")
         .join(F.broadcast(contam), "doc_id", "left")
+        .join(F.broadcast(rep), "doc_id", "left")
         .join(F.broadcast(lowq), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("f_exact"), F.lit("exact_dup"))
             .when(F.col("f_near"), F.lit("near_dup"))
             .when(F.col("f_contam"), F.lit("contaminated"))
+            .when(F.col("f_rep"), F.lit("repetitive"))
             .when(F.col("f_lowq"), F.lit("low_quality"))
             .otherwise(F.lit("kept"))
             .alias("verdict"),
@@ -470,6 +493,7 @@ def prepare_training_corpus_sql() -> str:
     from ontology_loader_spark.operators.dedup import EXACT_DUP_SQL
     from ontology_loader_spark.operators.text import (
         benchmark_contamination_sql,
+        repetition_stats_sql,
         text_quality_sql,
     )
 
@@ -483,6 +507,12 @@ near AS (
 contam AS (
   SELECT DISTINCT doc_id FROM ({benchmark_contamination_sql()})
 ),
+rep AS (
+  SELECT doc_id FROM ({repetition_stats_sql()})
+  WHERE n_shingles >= {REP_MIN_SHINGLES}
+    AND (shingle_rep_ratio > {MAX_SHINGLE_REP}
+         OR top_token_ratio > {MAX_TOP_TOKEN})
+),
 lowq AS (
   SELECT doc_id FROM ({text_quality_sql()})
   WHERE n_tokens < {MIN_TOKENS} OR stopword_ratio > {MAX_STOPWORD_RATIO}
@@ -491,10 +521,12 @@ SELECT d.doc_id,
   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
        WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       WHEN r.doc_id IS NOT NULL THEN 'repetitive'
        WHEN q.doc_id IS NOT NULL THEN 'low_quality'
        ELSE 'kept' END AS verdict
 FROM documents d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
 LEFT JOIN contam c ON c.doc_id = d.doc_id
+LEFT JOIN rep r ON r.doc_id = d.doc_id
 LEFT JOIN lowq q ON q.doc_id = d.doc_id"""

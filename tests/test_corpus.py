@@ -159,6 +159,8 @@ def test_corpus_prep_precedence(spark):
         (2, "tiny"),               # low quality (token floor)
         (3, "tiny"),               # exact dup of 2 -> exact_dup wins
         (4, " ".join(f"other{i}" for i in range(60))),  # kept
+        (5, " ".join("spam" for _ in range(60))),  # repetitive (top token
+                                                   # share 1.0, >= floor)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["verdict"]
@@ -168,6 +170,7 @@ def test_corpus_prep_precedence(spark):
     assert got[2] == "low_quality"        # canonical judged on merits
     assert got[0] == "kept"
     assert got[4] == "kept"
+    assert got[5] == "repetitive"
 
 
 def test_grouped_packing_matches_global_without_global_sort(spark):
