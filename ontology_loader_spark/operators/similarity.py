@@ -301,8 +301,137 @@ def _idot_sql(a: str, b: str) -> str:
     )
 
 
+def _hash_unit(col: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1]: first 4 md5 hex digits of the
+    salted key — engine- and partitioning-independent 'randomness'."""
+    from ontology_loader_spark.operators.dedup import _hex4_spark
+
+    h = _hex4_spark(F.md5(F.concat(F.lit(salt), col.cast("string"))))
+    return (h + 1).cast("double") / F.lit(65537.0)
+
+
+def kmeans_parallel_seed(
+    embeddings: DataFrame,
+    cells: int,
+    rounds: int = 2,
+    oversample: int | None = None,
+) -> list[list[int]]:
+    """Deterministic k-means|| seeding (Bahmani et al., VLDB'12) for
+    the IVF coarse quantizer — the scale-grade alternative to
+    first-k-ids init when the id order correlates with content.
+
+    Per round, points are sampled with probability proportional to
+    their cosine distance to the nearest already-chosen center, via
+    **Efraimidis–Spirakis A-ES weighted sampling made deterministic**:
+    key_i = u_i^(1/d_i) with u_i a salted md5-uniform in (0,1], take
+    the top-``oversample`` keys (one TakeOrdered per round — no RNG,
+    identical at any parallelism). The ≤ rounds·oversample+1 candidates
+    are then weighted by their attraction counts (one assignment pass)
+    and reduced to ``cells`` centers with a driver-side greedy
+    weighted max-min pass over the tiny candidate set. Distributed
+    passes touch the corpus O(rounds+1) times; only candidate rows
+    ever reach the driver.
+
+    Returns the seed centroids as quantized integer vectors (the same
+    unit :func:`ivf_centroids` iterates on)."""
+    import hashlib
+
+    if oversample is None:
+        oversample = 2 * cells
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=True)
+
+    first = (
+        vecs.withColumn("u", _hash_unit(F.col("vec_id"), "km-init:"))
+        .orderBy(F.col("u").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = vecs.sparkSession.createDataFrame(
+        [(0, list(first["q"]))], "cand_id int, c_emb array<long>"
+    )
+    cands = [list(first["q"])]
+
+    for r in range(rounds):
+        c = chosen.withColumn("c_norm2", _idot(F.col("c_emb"), F.col("c_emb")))
+        best = (
+            vecs.join(F.broadcast(c))
+            .withColumn(
+                "c_cos",
+                _cos(_idot(F.col("q"), F.col("c_emb")),
+                     _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("c_cos").alias("best_cos"), F.first("q").alias("q"))
+            .withColumn("d", F.greatest(F.lit(0.0), F.lit(1.0) - F.col("best_cos")))
+            .filter(F.col("d") > 0)
+        )
+        picked = (
+            best.withColumn("u", _hash_unit(F.col("vec_id"), f"km{r}:"))
+            .withColumn("key", F.pow(F.col("u"), F.lit(1.0) / F.col("d")))
+            .orderBy(F.col("key").desc(), F.col("vec_id").asc())
+            .limit(oversample)
+            .select("vec_id", "q")
+            .collect()
+        )
+        new = [list(p["q"]) for p in picked]
+        cands.extend(new)
+        chosen = vecs.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cands)], "cand_id int, c_emb array<long>"
+        )
+
+    # weight candidates by attraction (one distributed pass)
+    c = chosen.withColumn("c_norm2", _idot(F.col("c_emb"), F.col("c_emb")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cand_id").asc()
+    )
+    weights = {
+        r["cand_id"]: r["w"]
+        for r in (
+            vecs.join(F.broadcast(c))
+            .withColumn(
+                "c_cos",
+                _cos(_idot(F.col("q"), F.col("c_emb")),
+                     _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
+            )
+            .withColumn("rnk", F.row_number().over(w_assign))
+            .filter(F.col("rnk") == 1)
+            .groupBy("cand_id")
+            .agg(F.count("*").alias("w"))
+            .collect()
+        )
+    }
+
+    # driver-side greedy weighted max-min over the tiny candidate set
+    def cos(a: list[int], b: list[int]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    idx = list(range(len(cands)))
+    start = max(
+        idx,
+        key=lambda i: (weights.get(i, 0),
+                       hashlib.md5(str(i).encode()).hexdigest()),
+    )
+    centers = [start]
+    while len(centers) < min(cells, len(cands)):
+        def score(i: int) -> tuple:
+            d = min(1.0 - cos(cands[i], cands[j]) for j in centers)
+            return (weights.get(i, 0) * d * d,
+                    hashlib.md5(str(i).encode()).hexdigest())
+        nxt = max((i for i in idx if i not in centers), key=score)
+        centers.append(nxt)
+    return [cands[i] for i in centers]
+
+
 def ivf_centroids(
-    embeddings: DataFrame, cells: int | None = IVF_CELLS, iters: int = IVF_ITERS
+    embeddings: DataFrame,
+    cells: int | None = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    init: str = "first",
 ) -> DataFrame:
     """Trained IVF coarse centroids via Lloyd's k-means — pure
     DataFrame iterations, no UDF, and **order-independent arithmetic**
@@ -317,9 +446,16 @@ def ivf_centroids(
       sums are associative, so partial aggregation (map-side combine)
       cannot change the result, unlike a float mean.
 
-    Init = the first ``cells`` vectors by id (deterministic seeding;
-    k-means|| would converge faster but costs extra passes — with a
-    fixed small ``iters`` the simple seed keeps the oracle unrolled).
+    ``init`` picks the seeding:
+
+    - ``"first"`` (default): the first ``cells`` vectors by id —
+      deterministic and oracle-unrollable; the gate pins this path.
+    - ``"kmeans||"``: deterministic k-means|| oversampling
+      (:func:`kmeans_parallel_seed`) — pays O(rounds) extra corpus
+      passes for seeds spread across the data, the right trade when
+      id order correlates with content (ingest-ordered corpora) and
+      the first-k-ids seed would start all centers in one region.
+
     Empty cells die (standard Lloyd). Returns (cell, c_emb: array<long>,
     c_norm2). Centroid components stay ≤ QUANT, so integer dots never
     overflow regardless of corpus size.
@@ -333,9 +469,16 @@ def ivf_centroids(
     ).localCheckpoint(eager=True)
     if cells is None:
         cells = max(4, int(round(vecs.count() ** 0.5)))
-    cents = vecs.filter(F.col("vec_id") < cells).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c_emb")
-    )
+    if init == "kmeans||":
+        seeds = kmeans_parallel_seed(embeddings, cells)
+        cents = embeddings.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(seeds)],
+            "cell int, c_emb array<long>",
+        )
+    else:
+        cents = vecs.filter(F.col("vec_id") < cells).select(
+            F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("c_emb")
+        )
     for _ in range(iters):
         c = cents.withColumn("c_norm2", _idot(F.col("c_emb"), F.col("c_emb")))
         scored = vecs.join(F.broadcast(c)).withColumn(
@@ -416,12 +559,15 @@ assign{i} AS (
 
 
 def ivf_assign(
-    embeddings: DataFrame, cells: int | None = IVF_CELLS, iters: int = IVF_ITERS
+    embeddings: DataFrame,
+    cells: int | None = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    init: str = "first",
 ) -> DataFrame:
     """Final IVF assignment against the trained centroids: nearest =
     max quantized cosine, ties by cell id. Pure joins + window."""
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("q"))
-    cents = ivf_centroids(embeddings, cells, iters).localCheckpoint(eager=True)
+    cents = ivf_centroids(embeddings, cells, iters, init).localCheckpoint(eager=True)
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "c_cos",
         _cos(_idot(F.col("q"), F.col("c_emb")),
@@ -443,6 +589,7 @@ def ivf_topk(
     iters: int = IVF_ITERS,
     probes: int = IVF_PROBES,
     broadcast_queries: bool = True,
+    init: str = "first",
 ) -> DataFrame:
     """IVF-flat ANN with trained centroids and multi-probe: per query,
     exact search restricted to the query's ``probes`` nearest cells.
@@ -454,7 +601,7 @@ def ivf_topk(
     exceeds the broadcast threshold; per-cell skew is AQE's skew-join
     case or a cell-split salt."""
     vecs = with_norm2(embeddings).select("vec_id", "embedding", "norm2")
-    cents = ivf_centroids(embeddings, cells, iters).localCheckpoint(eager=True)
+    cents = ivf_centroids(embeddings, cells, iters, init).localCheckpoint(eager=True)
     qv = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("q"))
 
     cscored = qv.join(F.broadcast(cents)).withColumn(

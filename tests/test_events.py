@@ -102,3 +102,19 @@ def test_range_join_plans_as_hash_equi_join(spark):
     assert ("BroadcastNestedLoopJoin" in pure_range
             or "CartesianProduct" in pure_range)
     del naive_plan
+
+
+def test_asof_and_range_join_partitioning_invariant(spark):
+    """North-rule two-cluster-size criterion depends on results being
+    identical at any parallelism: both operators must produce the same
+    rows at 1 and 32 input partitions."""
+    events = spark.createDataFrame(
+        [_ev(i, (i * 37) % 7200, i % 9,
+             ("view", "click", "error")[i % 3], float(i % 13))
+         for i in range(600)],
+        EVENT_DDL,
+    )
+    for op in (asof_join, range_join_window_counts):
+        a = sorted(map(tuple, op(events.repartition(1)).collect()))
+        b = sorted(map(tuple, op(events.repartition(32)).collect()))
+        assert a == b and len(a) > 0

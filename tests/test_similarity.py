@@ -86,3 +86,54 @@ def test_ivf_auto_cell_count(spark, embs):
     exact = _pairs(brute_force_topk(embs, k=K))
     auto = _pairs(ivf_topk(embs, k=K, cells=None, probes=8))
     assert len(exact & auto) / len(exact) >= 0.5
+
+
+def _clustered_embeddings(spark, n_per=60, dim=8):
+    """4 well-separated axis clusters; ids 0..59 are ALL cluster 0, so
+    first-k-ids seeding starts every center in one cluster."""
+    rows = []
+    for i in range(4 * n_per):
+        c = i // n_per
+        v = [0.05 * (((i * 7 + d * 13) % 11) / 11.0 - 0.5) for d in range(dim)]
+        v[c] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_parallel_seed_beats_first_ids_on_ordered_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from ontology_loader_spark.operators.similarity import (
+        _cos,
+        _idot,
+        _quantize,
+        ivf_centroids,
+        kmeans_parallel_seed,
+    )
+
+    embs = _clustered_embeddings(spark)
+    vecs = embs.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+
+    def mean_best_cos(init):
+        cents = ivf_centroids(embs, cells=4, iters=2, init=init)
+        scored = vecs.join(F.broadcast(cents)).withColumn(
+            "c_cos",
+            _cos(_idot(F.col("q"), F.col("c_emb")),
+                 _idot(F.col("q"), F.col("q")), F.col("c_norm2")),
+        )
+        row = (scored.groupBy("vec_id").agg(F.max("c_cos").alias("b"))
+               .agg(F.avg("b").alias("m")).collect()[0])
+        return row["m"]
+
+    m_first = mean_best_cos("first")
+    m_kpar = mean_best_cos("kmeans||")
+    # first-ids seeding starts all 4 centers inside cluster 0 and two
+    # Lloyd rounds cannot spread them to all four clusters; k-means||
+    # seeds across the data and must win clearly on this corpus
+    assert m_kpar > m_first + 0.05, (m_first, m_kpar)
+    assert m_kpar > 0.95
+
+    # determinism: identical seeds at any input partitioning
+    s1 = kmeans_parallel_seed(embs.repartition(1), cells=4)
+    s16 = kmeans_parallel_seed(embs.repartition(16), cells=4)
+    assert s1 == s16
