@@ -24,6 +24,7 @@ from ontology_loader_spark.inputs import derive
 from ontology_loader_spark.operators import corpus as _corpus
 from ontology_loader_spark.operators import dedup as _dedup
 from ontology_loader_spark.operators import events as _events
+from ontology_loader_spark.operators import graph as _graph
 from ontology_loader_spark.operators import multimodal as _multimodal
 from ontology_loader_spark.operators import similarity as _similarity
 from ontology_loader_spark.operators import sketch as _sketch
@@ -161,6 +162,15 @@ def q_ancestor_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_term.groupBy("n_ancestors").agg(
         F.count("*").cast("int").alias("n_terms")
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the hierarchy edge graph — every
+    iteration bit-reproducible by the unrolled SQL oracle (integral
+    division only; no float accumulation anywhere)."""
+    from ontology_loader_spark.operators.graph import pagerank
+
+    return pagerank(derive.derive_edges(spark, sf_dir))
 
 
 def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_set": q_relation_set,
         "incremental_closure": q_incremental_closure,
         "ancestor_histogram": q_ancestor_histogram,
+        "pagerank": q_pagerank,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "relations_agg": q_relations_agg,
         "class_cdc": q_class_cdc,
@@ -607,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_set": oracle.q_relation_set(),
         "incremental_closure": oracle.q_ancestor_closure(),
         "ancestor_histogram": oracle.q_ancestor_histogram(),
+        "pagerank": _graph.pagerank_sql(),
         "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(
             extra_ctes=(derive.TRANSCRIPTS_CTE,)
         ),
