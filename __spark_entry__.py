@@ -480,6 +480,15 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage conditional
+    min-aggregates on the user key — no sequence UDF, no global
+    window."""
+    from ontology_loader_spark.operators.events import funnel_stages
+
+    return funnel_stages(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join as one (user_id)-partitioned window pass; the oracle
     is DuckDB's NATIVE ASOF LEFT JOIN — two independent algorithms."""
@@ -591,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_plan": q_multimodal_resize_plan,
         "event_sessionization": q_event_sessionization,
         "event_window_stats": q_event_window_stats,
+        "funnel_stages": q_funnel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -654,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_plan": _multimodal.resize_plan_sql(),
         "event_sessionization": _events.sessionize_sql(),
         "event_window_stats": _events.tumbling_window_stats_sql(),
+        "funnel_stages": _events.funnel_stages_sql(),
         "asof_join": _events.asof_join_sql(),
         "range_join": _events.range_join_window_counts_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),

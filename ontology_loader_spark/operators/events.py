@@ -103,6 +103,92 @@ FROM events
 GROUP BY 1, 2"""
 
 
+# --------------------------------------------------------------- funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time each step
+    can be completed GIVEN the previous step happened strictly earlier
+    (the classic strictly-increasing-timestamp funnel). Output one row
+    per funnel stage: (stage, step, n_users) — how many users reached
+    that stage.
+
+    Spark-first shape: no sequence-pattern UDF and no window over the
+    whole event stream — stage k is one conditional min-aggregate per
+    user (``min(ts) where type = step_k and ts > t_{k-1}``) joined
+    back on user_id, i.e. len(steps) small map-side-combinable
+    aggregations over the (uniform) user key. Ties on the boundary are
+    strict (a click at exactly the view's timestamp does not count) —
+    the same rule in the SQL oracle."""
+    per_user = None
+    prev_col = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step).select("user_id", "ts")
+        if per_user is None:
+            agg = ev.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+            per_user = agg
+        else:
+            joined = ev.join(
+                per_user.select("user_id", prev_col), "user_id"
+            ).filter(F.col("ts") > F.col(prev_col))
+            agg = joined.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+            per_user = per_user.join(agg, "user_id", "left")
+        prev_col = f"t{i}"
+
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("stage"),
+                        F.lit(step).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.stage", "r.step", "r.n_users")
+
+
+def funnel_stages_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(f"""
+s{i} AS (
+  SELECT e.user_id, MIN(e.ts) AS t{i}
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{step}' AND e.ts > p.t{i - 1}
+  GROUP BY e.user_id
+)""")
+    selects = [
+        f"SELECT CAST({i + 1} AS INTEGER) AS stage, '{step}' AS step, "
+        f"(SELECT COUNT(*) FROM s{i}) AS n_users"
+        for i, step in enumerate(steps)
+    ]
+    return (
+        "WITH " + ",\n".join(c.strip() for c in ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 # ------------------------------------------------------------ as-of join
 
 ASOF_LEFT_TYPE = "click"

@@ -118,3 +118,36 @@ def test_asof_and_range_join_partitioning_invariant(spark):
         a = sorted(map(tuple, op(events.repartition(1)).collect()))
         b = sorted(map(tuple, op(events.repartition(32)).collect()))
         assert a == b and len(a) > 0
+
+
+def test_funnel_strict_ordering(spark):
+    """Stage k requires an event strictly after the user's earliest
+    stage-(k-1) completion: same-timestamp events do not advance the
+    funnel, and stage counts are monotone non-increasing."""
+    from ontology_loader_spark.operators.events import funnel_stages
+
+    events = spark.createDataFrame(
+        [
+            # user 1: full funnel in order
+            _ev(1, 10, 1, "view"), _ev(2, 20, 1, "click"),
+            _ev(3, 30, 1, "purchase"),
+            # user 2: click BEFORE the first view -> stalls at view
+            _ev(4, 50, 2, "click"), _ev(5, 60, 2, "view"),
+            # user 3: click at the SAME ts as view -> strict, no advance
+            _ev(6, 70, 3, "view"), _ev(7, 70, 3, "click"),
+            # user 4: purchase without click -> stalls at view
+            _ev(8, 80, 4, "view"), _ev(9, 90, 4, "purchase"),
+            # user 5: never views
+            _ev(10, 5, 5, "purchase"),
+        ],
+        EVENT_DDL,
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_stages(events).collect()}
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+    # user 2's later click would count if they viewed first; verify a
+    # second click after the view advances them
+    more = events.unionByName(spark.createDataFrame(
+        [_ev(11, 65, 2, "click")], EVENT_DDL))
+    got2 = {r["step"]: r["n_users"] for r in funnel_stages(more).collect()}
+    assert got2["click"] == 2
