@@ -480,6 +480,18 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.events import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: per-stage conditional
     min-aggregates on the user key — no sequence UDF, no global
@@ -601,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": q_event_sessionization,
         "event_window_stats": q_event_window_stats,
         "funnel_stages": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "bm25_topk": q_bm25_topk,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -665,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
         "event_sessionization": _events.sessionize_sql(),
         "event_window_stats": _events.tumbling_window_stats_sql(),
         "funnel_stages": _events.funnel_stages_sql(),
+        "cohort_retention": _events.cohort_retention_sql(),
+        "bm25_topk": _text.bm25_topk_sql(),
         "asof_join": _events.asof_join_sql(),
         "range_join": _events.range_join_window_counts_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),

@@ -103,6 +103,49 @@ FROM events
 GROUP BY 1, 2"""
 
 
+# ------------------------------------------------------------ retention
+
+WEEK_SEC = 7 * 24 * 3600
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention curve: users are cohorted by their first
+    activity week (epoch-floored — identical in both engines), and
+    each later active week counts toward that week offset. Output
+    (week_offset, n_users) with n_users = distinct users active
+    ``offset`` weeks after their own first week.
+
+    Two aggregations on the uniform user key (first week, then
+    distinct active weeks) and one distinct count keyed on the small
+    (user, offset) domain — all integer arithmetic, map-side
+    combinable, no window."""
+    wk = F.floor(_epoch_sec("ts") / WEEK_SEC).cast("long")
+    first = events.groupBy("user_id").agg(F.min(wk).alias("w0"))
+    active = events.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select("user_id", (F.col("w") - F.col("w0")).alias("week_offset"))
+        .groupBy("week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def cohort_retention_sql() -> str:
+    return f"""
+WITH first AS (
+  SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / {WEEK_SEC}) AS BIGINT)) AS w0
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / {WEEK_SEC}) AS BIGINT) AS w
+  FROM events
+)
+SELECT a.w - f.w0 AS week_offset, COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON f.user_id = a.user_id
+GROUP BY a.w - f.w0"""
+
+
 # --------------------------------------------------------------- funnel
 
 FUNNEL_STEPS = ("view", "click", "purchase")

@@ -375,3 +375,119 @@ SELECT t.doc_id AS doc_id, b.bench_id AS bench_id,
 FROM train t JOIN bench b ON t.fingerprint = b.fingerprint
 GROUP BY t.doc_id, b.bench_id
 HAVING COUNT(*) >= {min_shared}"""
+
+
+# ----------------------------------------------------------------- BM25
+
+BM25_QUERY = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 retrieval scoring of a literal query against the corpus —
+    the ranking primitive behind retrieval-based curation (nearest
+    benchmark questions, targeted dedup, quality probes). Output the
+    ``topk`` docs: (doc_id, score, rank).
+
+    Spark-first shape: per-doc term frequencies for the |query| terms
+    are |query| conditional aggregates inside ONE groupBy over the
+    token explode (no per-term joins); the corpus stats the formula
+    needs (N, df_t, avgdl) are three scalars from one tiny aggregate,
+    computed identically by the SQL oracle. The score is written as a
+    FIXED-ORDER arithmetic expression over the per-term partials, so
+    double addition order cannot differ between engines; idf uses the
+    BM25+ form ln(1 + (N-df+0.5)/(df+0.5)) which stays positive for
+    ubiquitous terms. One wide shuffle total (the token groupBy on
+    doc_id), then a global top-k (TakeOrdered — no full sort)."""
+    import math
+
+    toks = doc_tokens(documents)
+    aggs = [F.count("*").alias("dl")] + [
+        F.sum((F.col("tok") == t).cast("long")).alias(f"tf{i}")
+        for i, t in enumerate(query)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+
+    # corpus scalars — tiny action; the oracle computes the same
+    # integers/ratio in SQL
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("total_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(query))],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["total_dl"] / n
+
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double")
+                        / F.lit(avgdl))
+    score = F.lit(0.0)
+    for i in range(len(query)):
+        idf = math.log(1.0 + (n - stats[f"df{i}"] + 0.5)
+                       / (stats[f"df{i}"] + 0.5))
+        tf = F.col(f"tf{i}").cast("double")
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    scored = per_doc.select("doc_id", score.alias("score")).filter(
+        F.col("score") > 0
+    )
+    # TakeOrdered first (no full sort, no corpus-wide single-partition
+    # window); the rank window then runs over only `topk` rows
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(topk)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def bm25_topk_sql(
+    query: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    tf_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(query)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query))
+    )
+    terms = " + ".join(
+        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * CAST(p.tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(p.tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b}"
+        f" * CAST(p.dl AS DOUBLE) / s.avgdl)))"
+        for i in range(len(query))
+    )
+    return (
+        "WITH " + DOC_TOKENS_CTE.strip() + f""",
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+    {tf_cols}
+  FROM doc_tokens GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, score, rank FROM (
+  SELECT p.doc_id, ({terms}) AS score,
+    CAST(ROW_NUMBER() OVER (ORDER BY ({terms}) DESC, p.doc_id)
+         AS INTEGER) AS rank
+  FROM per_doc p, stats s
+  WHERE ({terms}) > 0
+) WHERE rank <= {topk}"""
+    )

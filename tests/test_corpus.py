@@ -280,3 +280,23 @@ def test_stratified_sample_rates_and_salt_independence(spark):
     kept_ids = [r["doc_id"] for r in got if r["kept"]]
     test_frac = sum(1 for i in kept_ids if split[i] == "test") / len(kept_ids)
     assert abs(test_frac - 0.125) < 0.04
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from ontology_loader_spark.operators.text import bm25_topk
+
+    filler = " ".join(f"f{i}" for i in range(30))
+    rows = [
+        (0, f"spark join window spark join {filler}"),   # all terms, high tf
+        (1, f"spark {filler}"),                          # one term
+        (2, f"{filler} nothing relevant here"),          # zero terms
+        (3, f"join window {filler}"),                    # two terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, topk=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in got}
+    assert ranks[0] == 1                         # most terms, highest tf
+    assert 2 not in ranks                        # zero-score excluded
+    assert ranks[3] < ranks[1]                   # two terms beat one
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert scores[0] > scores[3] > scores[1] > 0

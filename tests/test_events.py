@@ -151,3 +151,22 @@ def test_funnel_strict_ordering(spark):
         [_ev(11, 65, 2, "click")], EVENT_DDL))
     got2 = {r["step"]: r["n_users"] for r in funnel_stages(more).collect()}
     assert got2["click"] == 2
+
+
+def test_cohort_retention_fixture(spark):
+    from ontology_loader_spark.operators.events import cohort_retention
+
+    wk = 7 * 24 * 3600
+    events = spark.createDataFrame(
+        [
+            _ev(1, 0, 1, "view"), _ev(2, wk + 5, 1, "view"),     # wk 0, 1
+            _ev(3, 10, 2, "view"),                               # wk 0 only
+            _ev(4, 2 * wk, 3, "view"), _ev(5, 3 * wk, 3, "view"),
+            _ev(6, 2 * wk + 9, 3, "view"),                       # dup week
+        ],
+        EVENT_DDL,
+    )
+    got = {r["week_offset"]: r["n_users"]
+           for r in cohort_retention(events).collect()}
+    # offset 0: all 3 users; offset 1: users 1 and 3
+    assert got == {0: 3, 1: 2}
