@@ -480,6 +480,18 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.operators.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.events import cohort_retention
 
@@ -615,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": q_funnel,
         "cohort_retention": q_cohort_retention,
         "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "normalize_text": q_normalize_text,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -681,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_stages": _events.funnel_stages_sql(),
         "cohort_retention": _events.cohort_retention_sql(),
         "bm25_topk": _text.bm25_topk_sql(),
+        "lm_score": _text.lm_score_sql(),
+        "normalize_text": _text.normalize_text_sql(),
         "asof_join": _events.asof_join_sql(),
         "range_join": _events.range_join_window_counts_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),

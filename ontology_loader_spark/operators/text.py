@@ -491,3 +491,91 @@ SELECT doc_id, score, rank FROM (
   WHERE ({terms}) > 0
 ) WHERE rank <= {topk}"""
     )
+
+
+# ------------------------------------------------- unigram LM score
+
+LM_MICRO = 1_000_000
+
+
+def lm_score(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model score per doc — the cheap proxy
+    for the LM-perplexity quality filter (CCNet-style): documents made
+    of globally-rare tokens score low. Output (doc_id, n_tokens,
+    sum_logprob_micro) where sum_logprob_micro = Σ over tokens of
+    floor(ln(corpus_count(tok)/corpus_total) · 1e6) — consumers divide
+    by n_tokens for the mean.
+
+    Determinism design: a double SUM of per-token logprobs is
+    accumulation-order-dependent, so the logprob is floor-quantized to
+    integer micro-nats ONCE PER DISTINCT TOKEN (ln's 1-ulp engine
+    variation flips a floor with probability ~ulp/1e-6 ≈ 4e-10 per
+    vocabulary entry — negligible), and the per-doc sum is then exact
+    integer arithmetic: associative, shuffle-order-free. The unigram
+    table is vocabulary-bounded (map-side-combinable groupBy on the
+    token); the per-doc pass joins on the uniform token key."""
+    toks = doc_tokens(documents)
+    total = toks.count()
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    lp = counts.select(
+        "tok",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.lit(float(total))) * LM_MICRO
+        ).cast("long").alias("lp_micro"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+    )
+
+
+def lm_score_sql() -> str:
+    return (
+        "WITH " + DOC_TOKENS_CTE.strip() + f""",
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM doc_tokens),
+lp AS (
+  SELECT tok,
+    CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total))
+               * {LM_MICRO}) AS BIGINT) AS lp_micro
+  FROM doc_tokens GROUP BY tok
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(lp_micro) AS BIGINT) AS sum_logprob_micro
+FROM doc_tokens d
+JOIN lp ON lp.tok = d.tok
+GROUP BY doc_id"""
+    )
+
+
+# --------------------------------------------------- text normalization
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical cleaning pass (the step before tokenization/dedup in
+    a corpus pipeline): lowercase, strip control chars, collapse
+    whitespace runs, trim. One chained codegen'd projection — patterns
+    are Java-regex/RE2-identical (no lookaround). Output
+    (doc_id, norm_text, changed)."""
+    norm = F.lower(F.col("text"))
+    norm = F.regexp_replace(norm, "[\\x00-\\x1f]", " ")
+    norm = F.regexp_replace(norm, "  +", " ")
+    norm = F.trim(norm)
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+def normalize_text_sql() -> str:
+    norm = "lower(text)"
+    norm = f"regexp_replace({norm}, '[\\x00-\\x1f]', ' ', 'g')"
+    norm = f"regexp_replace({norm}, '  +', ' ', 'g')"
+    norm = f"trim({norm})"
+    return f"""
+SELECT doc_id, {norm} AS norm_text, {norm} <> text AS changed
+FROM documents"""

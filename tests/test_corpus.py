@@ -300,3 +300,41 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert ranks[3] < ranks[1]                   # two terms beat one
     scores = {r["doc_id"]: r["score"] for r in got}
     assert scores[0] > scores[3] > scores[1] > 0
+
+
+def test_lm_score_rare_tokens_score_lower(spark):
+    from ontology_loader_spark.operators.text import lm_score
+
+    common = " ".join("common" for _ in range(20))
+    rows = [
+        (0, common),                                  # highest-prob tokens
+        (1, " ".join(f"rare{i}" for i in range(20))),  # all hapaxes
+        (2, common),                                  # same as 0 exactly
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert got[0]["n_tokens"] == 20
+    # identical docs score identically (pure function of content)
+    assert got[0]["sum_logprob_micro"] == got[2]["sum_logprob_micro"]
+    # per-token mean: common tokens beat hapaxes
+    m0 = got[0]["sum_logprob_micro"] / got[0]["n_tokens"]
+    m1 = got[1]["sum_logprob_micro"] / got[1]["n_tokens"]
+    assert m0 > m1
+    # exact integer determinism across partitionings
+    again = {r["doc_id"]: r["sum_logprob_micro"]
+             for r in lm_score(docs.repartition(16)).collect()}
+    assert again == {k: v["sum_logprob_micro"] for k, v in got.items()}
+
+
+def test_normalize_text_rules(spark):
+    from ontology_loader_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "  Hello   WORLD \x01\x02 end  "),
+        (1, "already clean"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(docs).collect()}
+    assert got[0] == ("hello world end", True)
+    assert got[1] == ("already clean", False)
