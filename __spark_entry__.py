@@ -468,6 +468,33 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length quantiles via the histogram-CDF
+    shape (one narrow agg + a bounded distinct-value window — never a
+    per-group row sort)."""
+    from ontology_loader_spark.operators.text import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir))
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (quote/boilerplate) near-dup detection: rare-shingle
+    anchored candidates (df-capped — bounded pair fan-out), exact
+    containment of the smaller shingle set."""
+    from ontology_loader_spark.operators.dedup import containment_dedup
+
+    return containment_dedup(_docs(spark, sf_dir))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the token co-occurrence graph via
+    degree-ordered orientation (wedge fan-out bounded by out-degree² ≤
+    O(m^1.5) total — hub tokens take in-edges and cannot blow up)."""
+    from ontology_loader_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_docs(spark, sf_dir))
+
+
 def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.events import sessionize
 
@@ -633,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "token_stats": q_token_stats,
+        "group_quantiles": q_group_quantiles,
+        "containment_dedup": q_containment_dedup,
+        "triangle_count": q_triangle_count,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -701,6 +731,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _events.range_join_window_counts_sql(),
         "winnowing_fingerprints": _text.winnowing_fingerprints_sql(),
         "token_stats": _text.token_stats_sql(),
+        "group_quantiles": _text.group_quantiles_sql(),
+        "containment_dedup": _dedup.containment_dedup_sql(),
+        "triangle_count": _graph.triangle_counts_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

@@ -362,3 +362,157 @@ votes AS (
 )
 SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM votes"""
     )
+
+
+# ------------------------------------------------- containment dedup
+
+# rare-shingle candidate generation: only shingles appearing in
+# [RARE_DF_MIN, RARE_DF_MAX] documents anchor candidate pairs. The df
+# ceiling is the scale guard (each shingle contributes ≤ max_df²
+# pairs — boilerplate shingles with corpus-scale df are exactly the
+# ones that carry no containment signal); the floor just drops
+# singletons that can't pair.
+RARE_DF_MIN = 2
+RARE_DF_MAX = 8
+MIN_SHARED_RARE = 4
+CONTAINMENT_THRESHOLD = 0.3
+
+
+def rare_shingle_candidates(
+    documents: DataFrame,
+    min_df: int = RARE_DF_MIN,
+    max_df: int = RARE_DF_MAX,
+    min_shared: int = MIN_SHARED_RARE,
+) -> DataFrame:
+    """Candidate (a < b) pairs sharing ≥ ``min_shared`` RARE shingles.
+
+    Containment-oriented candidate generation: symmetric MinHash bands
+    are biased against a small doc inside a much larger one (the
+    jaccard the bands estimate is low even when containment is ~1), so
+    the anchor here is shared rare n-grams instead. Output is bounded
+    by |rare shingles| × max_df² regardless of corpus size — the df
+    cap plays the role ``max_bucket`` plays for the LSH buckets — and
+    the shared-count filter is one map-side-combinable groupBy."""
+    ds = doc_shingles(documents).distinct()
+    rare = (
+        ds.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    anchored = ds.join(rare, "shingle", "left_semi")
+    left = anchored.select("shingle", F.col("doc_id").alias("a"))
+    right = anchored.select("shingle", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("a", "b")
+    )
+
+
+def containment_dedup(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    broadcast_pairs: bool | None = True,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: containment of the SMALLER
+    shingle set in the larger, C = |S_a ∩ S_b| / min(|S_a|, |S_b|) —
+    the quote/boilerplate/wrapper case symmetric jaccard misses (a doc
+    embedded in a bigger doc has low jaccard but containment ~1).
+    Output (contained, container, containment) for candidate pairs
+    with C ≥ ``threshold``; ``contained`` is the smaller-set doc
+    (ties broken by doc_id), so the direction is deterministic.
+
+    Candidates default to :func:`rare_shingle_candidates` (bounded by
+    the rare-df cap); the intersection joins follow the
+    ``ngram_jaccard`` shape — the bounded pair set broadcasts into the
+    exploded shingle relation (``broadcast_pairs`` has the same
+    False/None escape hatches). Ratio of exact ints → bit-identical
+    across engines."""
+    if pairs is None:
+        pairs = rare_shingle_candidates(documents)
+    if broadcast_pairs is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        broadcast_pairs = pairs.count() <= BROADCAST_PAIRS_MAX
+    ds = doc_shingles(documents).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = ds.select(F.col("doc_id").alias("a"), "shingle")
+    tb = ds.select(F.col("doc_id").alias("b"), "shingle")
+    cand = F.broadcast(pairs) if broadcast_pairs else pairs
+    inter = (
+        cand.join(ta, "a").join(tb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "na",
+            "nb",
+            (
+                F.col("n_inter").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    a_contained = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("a") < F.col("b"))
+    )
+    return scored.select(
+        F.when(a_contained, F.col("a")).otherwise(F.col("b")).alias("contained"),
+        F.when(a_contained, F.col("b")).otherwise(F.col("a")).alias("container"),
+        "containment",
+    )
+
+
+def containment_dedup_sql(
+    min_df: int = RARE_DF_MIN,
+    max_df: int = RARE_DF_MAX,
+    min_shared: int = MIN_SHARED_RARE,
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> str:
+    return (
+        "WITH " + DOC_SHINGLES_CTE.strip() + f""",
+ds AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
+rare AS (
+  SELECT shingle FROM ds
+  GROUP BY shingle HAVING COUNT(*) BETWEEN {min_df} AND {max_df}
+),
+anchored AS (SELECT d.doc_id, d.shingle FROM ds d JOIN rare r USING (shingle)),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM anchored l JOIN anchored r ON l.shingle = r.shingle
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds ta ON ta.doc_id = c.a
+  JOIN ds tb ON tb.doc_id = c.b AND tb.shingle = ta.shingle
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT i.a, i.b, sa.n AS na, sb.n AS nb,
+    CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+)
+SELECT
+  CASE WHEN na < nb OR (na = nb AND a < b) THEN a ELSE b END AS contained,
+  CASE WHEN na < nb OR (na = nb AND a < b) THEN b ELSE a END AS container,
+  containment
+FROM scored WHERE containment >= {threshold}"""
+    )

@@ -139,3 +139,146 @@ pr_c{i} AS (
         "WITH " + ",\n".join(c.strip() for c in ctes)
         + f"\nSELECT node, rank FROM pr_r{iters}"
     )
+
+
+# ------------------------------------------------------ triangle count
+
+# a token pair is a co-occurrence edge when it appears together in at
+# least this percentage of documents — a RELATIVE threshold, so the
+# graph definition is scale-invariant (an absolute co-doc count would
+# densify as the corpus grows)
+CODOC_PCT = 62
+
+
+def token_cooccurrence_edges(documents: DataFrame, codoc_pct: int = CODOC_PCT) -> DataFrame:
+    """Undirected token co-occurrence graph: (u, v) with u < v iff the
+    two tokens appear together in ≥ ``codoc_pct``% of documents.
+
+    The pair generation self-joins the distinct (doc, token) relation
+    on doc_id — fan-out is per-doc-vocabulary², the same cost every
+    co-occurrence/PMI pipeline pays, and the groupBy on (u, v) is
+    map-side combinable. The threshold compare is integer
+    (codoc*100 ≥ pct*n) so the SQL oracle is bit-identical."""
+    from ontology_loader_spark.operators.dedup import doc_tokens
+
+    toks = doc_tokens(documents).distinct().localCheckpoint(eager=True)
+    n_docs = toks.select("doc_id").distinct().count()
+    ta = toks.select(F.col("doc_id").alias("d"), F.col("tok").alias("u"))
+    tb = toks.select(F.col("doc_id").alias("d"), F.col("tok").alias("v"))
+    return (
+        ta.join(tb, "d")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("codoc"))
+        .filter(F.col("codoc") * 100 >= codoc_pct * n_docs)
+        .select("u", "v")
+    )
+
+
+def triangle_counts(documents: DataFrame, codoc_pct: int = CODOC_PCT) -> DataFrame:
+    """Per-node triangle counts over the token co-occurrence graph —
+    the local clustering signal a phrase-mining / topic pipeline reads
+    off the word graph. Output (node, triangles), one row per edge
+    endpoint, zero-filled.
+
+    Scale design — degree-ordered orientation (the standard
+    distributed triangle algorithm): each undirected edge is directed
+    from its lower-(degree, name) endpoint to the higher, so every
+    triangle is produced by exactly one wedge a→b→c (total order ⇒ no
+    double counting) and the wedge fan-out per node is its
+    OUT-degree², bounded by O(√m) on any graph — hubs (stopword-like
+    tokens with huge undirected degree) get mostly IN-edges and
+    generate no wedge blow-up. The degree table is vocabulary-sized →
+    broadcast; the wedge-closing join is a hash equi-join on the
+    (a, c) edge key. Everything is codegen'd Catalyst — no UDFs."""
+    und = token_cooccurrence_edges(documents, codoc_pct).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                             .withColumnRenamed("deg", "du")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+                          .withColumnRenamed("deg", "dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            "b",
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .na.fill({"triangles": 0})
+        .select("node", F.col("triangles").cast("long").alias("triangles"))
+    )
+
+
+def triangle_counts_sql(codoc_pct: int = CODOC_PCT) -> str:
+    from ontology_loader_spark.operators.dedup import DOC_TOKENS_CTE
+
+    return (
+        "WITH " + DOC_TOKENS_CTE.strip() + f""",
+toks AS (SELECT DISTINCT doc_id, tok FROM doc_tokens),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+und AS (
+  SELECT a.tok AS u, b.tok AS v
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) * 100 >= {codoc_pct} * (SELECT n FROM nd)
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT
+    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         THEN e.u ELSE e.v END AS src,
+    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         THEN e.v ELSE e.u END AS dst
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w2.src = w1.dst
+  WHERE EXISTS (
+    SELECT 1 FROM oriented o WHERE o.src = w1.src AND o.dst = w2.dst
+  )
+),
+per_node AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS node, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node"""
+    )

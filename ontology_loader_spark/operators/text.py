@@ -177,6 +177,83 @@ SELECT doc_id,
 FROM documents"""
 
 
+QUANTILE_PCTS = (25, 50, 90)
+
+
+def group_quantiles(
+    documents: DataFrame,
+    group_col: str = "source",
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+) -> DataFrame:
+    """EXACT per-group discrete quantiles of document token counts —
+    the length-distribution report a data pipeline cuts per source /
+    domain (e.g. "p90 length per crawl source" for budget planning).
+    Output (group, p25_tokens, p50_tokens, p90_tokens).
+
+    Scale design — the histogram-CDF trick instead of per-group
+    sorting: quantiles of an integer-valued measure never need the row
+    set, only the value histogram. Stage 1 groupBy (group, value) is
+    map-side combinable, collapsing N docs to at most |groups| ×
+    |distinct lengths| rows (lengths are bounded — a 100 TB corpus
+    still has ~10⁵ distinct token counts, so per-group histograms are
+    tiny). The running-sum window then orders DISTINCT VALUES within a
+    group — thousands of rows per partition key, never corpus rows —
+    and the quantile is the least value whose cumulative count reaches
+    ceil(p% · n), computed with integer cross-multiplication
+    (cum·100 ≥ p·n) so Spark and the SQL oracle agree bit-for-bit.
+    Contrast with percentile_approx (approximate) or sort-based exact
+    percentile (per-group full sort): this is exact AND one narrow
+    aggregation + one bounded window."""
+    from pyspark.sql import Window
+
+    ntok = documents.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("v"),
+    )
+    hist = ntok.groupBy("grp", "v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("v")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(tot), "grp")
+    aggs = [
+        F.min(F.when(F.col("cum") * 100 >= p * F.col("n"), F.col("v")))
+        .cast("long")
+        .alias(f"p{p}_tokens")
+        for p in pcts
+    ]
+    return j.groupBy("grp").agg(*aggs).withColumnRenamed("grp", group_col)
+
+
+def group_quantiles_sql(
+    group_col: str = "source", pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> str:
+    picks = ",\n  ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= {p} * n THEN v END) AS BIGINT) "
+        f"AS p{p}_tokens"
+        for p in pcts
+    )
+    return f"""
+WITH ntok AS (
+  SELECT {group_col} AS grp,
+    CAST(length(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         AS BIGINT) AS v
+  FROM documents
+),
+hist AS (SELECT grp, v, COUNT(*) AS cnt FROM ntok GROUP BY grp, v),
+cum AS (
+  SELECT grp, v, cnt,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+  FROM hist
+),
+tot AS (SELECT grp, SUM(cnt) AS n FROM hist GROUP BY grp)
+SELECT c.grp AS {group_col},
+  {picks}
+FROM cum c JOIN tot t ON t.grp = c.grp
+GROUP BY c.grp"""
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals, exactly computable:
 

@@ -338,3 +338,87 @@ def test_normalize_text_rules(spark):
            for r in normalize_text(docs).collect()}
     assert got[0] == ("hello world end", True)
     assert got[1] == ("already clean", False)
+
+
+# ------------------------------------------------- containment dedup
+
+
+def test_containment_detects_embedded_doc(spark):
+    """A doc whose text is a verbatim slice of a bigger doc: jaccard is
+    low (sizes differ a lot) but containment is 1.0 — the asymmetric
+    case the operator exists for."""
+    from ontology_loader_spark.operators.dedup import containment_dedup
+
+    big = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    small = " ".join(big.split()[30:45])  # 15-token verbatim slice
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_dedup(docs).collect()
+    assert [(r["contained"], r["container"]) for r in rows] == [(2, 1)]
+    assert rows[0]["containment"] == 1.0
+
+
+def test_containment_direction_tiebreak_and_threshold(spark):
+    from ontology_loader_spark.operators.dedup import containment_dedup
+
+    # identical docs (equal shingle-set size): contained = smaller id
+    text = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(7, text), (3, text)], "doc_id long, text string"
+    )
+    rows = containment_dedup(docs).collect()
+    assert [(r["contained"], r["container"]) for r in rows] == [(3, 7)]
+    # a high threshold filters the pair out
+    assert containment_dedup(docs, threshold=1.5).count() == 0
+
+
+def test_rare_shingle_candidates_df_cap(spark):
+    """Shingles shared by more docs than the df cap anchor nothing: a
+    boilerplate prefix present in every doc generates zero candidate
+    pairs (the quadratic guard), while a rare overlap does."""
+    from ontology_loader_spark.operators.dedup import rare_shingle_candidates
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, boiler + f" u{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert rare_shingle_candidates(docs, max_df=8).count() == 0
+    # two docs sharing a rare 8-token run do pair up
+    rare = " ".join(f"r{i}" for i in range(8))
+    docs2 = spark.createDataFrame(
+        rows + [(100, rare + " a"), (101, rare + " b")],
+        "doc_id long, text string",
+    )
+    cands = rare_shingle_candidates(docs2, max_df=8).collect()
+    assert [(r["a"], r["b"]) for r in cands] == [(100, 101)]
+
+
+# --------------------------------------------------- group quantiles
+
+
+def test_group_quantiles_discrete_definition(spark):
+    """Pinned against the discrete-quantile definition: least v with
+    cdf*100 >= p*n. Counts [1,2,3,4] -> p25=1, p50=2, p90=4."""
+    from ontology_loader_spark.operators.text import group_quantiles
+
+    rows = [(i, " ".join(["t"] * n), "s1") for i, n in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, " ".join(["t"] * 5), "s2") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["p25_tokens"], r["p50_tokens"], r["p90_tokens"])
+        for r in group_quantiles(docs).collect()
+    }
+    assert got == {"s1": (1, 2, 4), "s2": (5, 5, 5)}
+
+
+def test_group_quantiles_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.text import group_quantiles
+
+    rows = [
+        (i, " ".join(["t"] * (1 + i % 17)), f"s{i % 3}") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    one = sorted(map(tuple, group_quantiles(docs.coalesce(1)).collect()))
+    many = sorted(map(tuple, group_quantiles(docs.repartition(11)).collect()))
+    assert one == many

@@ -40,3 +40,55 @@ def test_pagerank_ignores_non_hierarchy_predicates(spark):
     nodes = {r["node"] for r in pagerank(e).collect()}
     assert nodes == {"a", "b"}
     del F
+
+
+# ------------------------------------------------------ triangle count
+
+
+def test_triangle_counts_known_graph(spark):
+    """Docs engineered so the ≥62%-codoc graph is exactly the triangle
+    {a,b,c}: a/b/c co-occur in 4 of 5 docs, d only once with a."""
+    from ontology_loader_spark.operators.graph import triangle_counts
+
+    rows = [(i, "a b c") for i in range(4)] + [(4, "a d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(docs).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_hub_graph_and_invariant(spark):
+    """A hub token co-occurring with everything: per-node counts stay
+    correct under the degree-ordered orientation, and the per-node sum
+    is 3x the number of distinct triangles (each triangle touches 3
+    nodes exactly once)."""
+    from ontology_loader_spark.operators.graph import (
+        token_cooccurrence_edges,
+        triangle_counts,
+    )
+
+    # 5 docs, edge iff codoc >= 62% (i.e. >= 4 docs): h-q in all 5;
+    # h-p, h-r, p-q, q-r in 4; p-r only in 3 -> excluded
+    rows = [
+        (0, "h p q"), (1, "h p q r"), (2, "h p q r"), (3, "h q r"),
+        (4, "h p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # h-p, h-q, h-r, p-q, q-r all >= 62% of 5 docs; p-r only 1/5
+    edges = {
+        (r["u"], r["v"]) for r in token_cooccurrence_edges(docs).collect()
+    }
+    assert edges == {("h", "p"), ("h", "q"), ("h", "r"), ("p", "q"), ("q", "r")}
+    got = {r["node"]: r["triangles"] for r in triangle_counts(docs).collect()}
+    # triangles: {h,p,q} and {h,q,r}
+    assert got == {"h": 2, "q": 2, "p": 1, "r": 1}
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_counts_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.graph import triangle_counts
+
+    rows = [(i, "a b c") for i in range(4)] + [(4, "a d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, triangle_counts(docs.coalesce(1)).collect()))
+    many = sorted(map(tuple, triangle_counts(docs.repartition(7)).collect()))
+    assert one == many
