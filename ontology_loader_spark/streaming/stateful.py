@@ -21,11 +21,15 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 PROGRESS_SCHEMA = StructType(
@@ -149,6 +153,121 @@ def tws_runtime_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("l_event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("l_ts", TimestampType(), False),
+        StructField("l_value", DoubleType(), True),
+        StructField("r_event_id", LongType(), True),
+        StructField("r_value", DoubleType(), True),
+    ]
+)
+
+# best right event seen so far: (ts in epoch micros, event_id, value)
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("r_ts_us", LongType(), True),
+        StructField("r_event_id", LongType(), True),
+        StructField("r_value", DoubleType(), True),
+    ]
+)
+
+
+def _asof_advance(stored, rows):
+    """Pure per-user transition of the streaming as-of join: fold a
+    micro-batch of (ts_us, side, event_id, value) rows — side 0 =
+    right/quote stream, 1 = left/probe stream — into (new_state,
+    emitted_left_matches). Rows are processed in (ts, side, event_id)
+    order, the exact order the batch operator's window uses, so rights
+    at a left's own ts match (inclusive bound) and the max event_id
+    wins ties.
+
+    State is ONE row — the best (ts, event_id) right seen so far —
+    which is the full as-of state whenever per-user arrival is
+    ts-monotone ACROSS micro-batches (the event-log case; in-batch
+    disorder is repaired by the sort). A left older than the stored
+    right emits NULL rather than a wrong match; retro-matching
+    arbitrarily late rights would need unbounded per-user history,
+    the trade every streaming as-of makes."""
+    best = stored if stored is not None and stored[0] is not None else None
+    out = []
+    for ts_us, side, event_id, value in sorted(rows):
+        if side == 0:
+            if best is None or (ts_us, event_id) > (best[0], best[1]):
+                best = (ts_us, event_id, value)
+        else:
+            if best is not None and best[0] <= ts_us:
+                out.append((event_id, ts_us, value, best[1], best[2]))
+            else:
+                out.append((event_id, ts_us, value, None, None))
+    return best, out
+
+
+def _asof_update(
+    key: Tuple[int], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    stored = tuple(state.get) if state.exists else None
+    rows = []
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].astype("int64") // 1000
+        for t, s, e, v in zip(ts_us, pdf["side"], pdf["event_id"], pdf["value"]):
+            rows.append((int(t), int(s), int(e), float(v)))
+    best, out = _asof_advance(stored, rows)
+    if best is not None:
+        state.update(best)
+    state.setTimeoutDuration(60 * 60 * 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "l_event_id": pd.Series([o[0] for o in out], dtype="int64"),
+                "user_id": pd.Series([key[0]] * len(out), dtype="int64"),
+                "l_ts": pd.to_datetime([o[1] for o in out], unit="us"),
+                "l_value": pd.Series([o[2] for o in out], dtype="float64"),
+                "r_event_id": pd.Series([o[3] for o in out], dtype="Int64"),
+                "r_value": pd.Series([o[4] for o in out], dtype="float64"),
+            }
+        )
+
+
+def asof_join_stream(
+    stream: DataFrame, left_type: str = "click", right_type: str = "view"
+) -> DataFrame:
+    """Streaming twin of the batch ``asof_join`` operator
+    (``operators/events.py:241``): per user, each ``left_type`` event
+    is matched to the most recent ``right_type`` event with
+    ``r.ts <= l.ts`` (inclusive, max event_id on ties). Same output
+    schema as the batch form.
+
+    One ``applyInPandasWithState`` keyed on user_id — the same
+    partitioning key the batch window uses, so the plan is one shuffle
+    per micro-batch and O(1) state per user (the single best right
+    row, NOT a buffer of the stream). Equality with the batch operator
+    under ts-ordered micro-batch delivery is pinned by test via the
+    shared :func:`_asof_advance` transition."""
+    sided = stream.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == right_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "event_id",
+        "value",
+    )
+    return sided.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def conversation_progress_tws(stream: DataFrame) -> DataFrame:

@@ -131,3 +131,107 @@ def test_tws_query_constructs(spark):
         out = conversation_progress_tws(stream_transcripts(spark, src))
         assert out.schema == PROGRESS_SCHEMA
         assert out.isStreaming
+
+
+# ---------------------------------------------------- streaming as-of
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+
+
+def _rand_events(n, n_users=5, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                BASE + datetime.timedelta(seconds=rng.randrange(10_000)),
+                rng.randrange(n_users),
+                rng.choice(["view", "click", "purchase"]),
+                float(rng.randrange(100)),
+                "",
+            )
+        )
+    return rows
+
+
+def test_asof_stream_transition_matches_batch(spark):
+    """Feeding ts-ordered micro-batches through the pure _asof_advance
+    transition reproduces the batch asof_join exactly — the shared
+    transition pins the streaming operator to the batch semantics."""
+    from ontology_loader_spark.operators.events import asof_join
+    from ontology_loader_spark.streaming.stateful import _asof_advance
+
+    rows = _rand_events(300)
+    batch = {
+        r["l_event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join(_mk_events(spark, rows)).collect()
+    }
+
+    # micro-batches = consecutive ts-ordered chunks (event-log delivery)
+    ordered = sorted(
+        (r for r in rows if r[3] in ("view", "click")),
+        key=lambda r: (r[1], r[0]),
+    )
+    chunks = [ordered[i : i + 37] for i in range(0, len(ordered), 37)]
+    state: dict = {}
+    got = {}
+    for chunk in chunks:
+        per_user: dict = {}
+        for eid, ts, uid, etype, value, _ in chunk:
+            ts_us = int(ts.timestamp() * 1_000_000)
+            side = 0 if etype == "view" else 1
+            per_user.setdefault(uid, []).append((ts_us, side, eid, value))
+        for uid, urows in per_user.items():
+            new_state, out = _asof_advance(state.get(uid), urows)
+            state[uid] = new_state
+            for l_eid, _ts, _lv, r_eid, r_val in out:
+                got[l_eid] = (r_eid, r_val)
+    assert got == batch
+
+
+def test_asof_join_stream_query(spark, tmp_path):
+    """The applyInPandasWithState operator end-to-end through a real
+    streaming query: one micro-batch over the full fixture must equal
+    the batch asof_join row-for-row."""
+    from ontology_loader_spark.operators.events import asof_join
+    from ontology_loader_spark.streaming.stateful import asof_join_stream
+
+    rows = _rand_events(200, seed=11)
+    df = _mk_events(spark, rows)
+    src = tmp_path / "asof_src"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(str(src))
+    )
+    q = (
+        asof_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["l_event_id"]: (r["user_id"], r["l_ts"], r["l_value"],
+                          r["r_event_id"], r["r_value"])
+        for r in spark.sql("select * from asof_stream").collect()
+    }
+    want = {
+        r["l_event_id"]: (r["user_id"], r["l_ts"], r["l_value"],
+                          r["r_event_id"], r["r_value"])
+        for r in asof_join(df).collect()
+    }
+    assert got == want
