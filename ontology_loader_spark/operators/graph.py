@@ -166,7 +166,9 @@ def token_cooccurrence_edges(documents: DataFrame, codoc_pct: int = CODOC_PCT) -
     ta = toks.select(F.col("doc_id").alias("d"), F.col("tok").alias("u"))
     tb = toks.select(F.col("doc_id").alias("d"), F.col("tok").alias("v"))
     return (
-        ta.join(tb, "d")
+        # hash, not sort-merge: the pair explosion is consumed by an
+        # unordered groupBy — per-doc sorted order is worthless
+        ta.join(tb.hint("shuffle_hash"), "d")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("codoc"))
@@ -211,15 +213,21 @@ def triangle_counts(documents: DataFrame, codoc_pct: int = CODOC_PCT) -> DataFra
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=True)
+    # shuffle_hash hints: the edge relation is graph-sized, so Catalyst
+    # would default to sort-merge — but neither wedge building nor the
+    # closing semi-join benefits from sorted output, and hashing skips
+    # the per-partition sorts (same policy as the range-join probe)
     wedges = (
         oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .join(
-            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+            .hint("shuffle_hash"),
             "b",
         )
     )
     tri = wedges.join(
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        .hint("shuffle_hash"),
         ["a", "c"],
         "left_semi",
     )
@@ -230,7 +238,7 @@ def triangle_counts(documents: DataFrame, codoc_pct: int = CODOC_PCT) -> DataFra
     )
     return (
         deg.select("node")
-        .join(per_node, "node", "left")
+        .join(per_node.hint("shuffle_hash"), "node", "left")
         .na.fill({"triangles": 0})
         .select("node", F.col("triangles").cast("long").alias("triangles"))
     )
