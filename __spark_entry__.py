@@ -468,6 +468,23 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (hashed token windows, Lee et
+    al. 2022 semantics): verdicts re-attach to occurrences through a
+    uniform-key hash join, never a suffix sort."""
+    from ontology_loader_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
+def q_event_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-clipped per-type value stats: exact integer-cents p90 from
+    the histogram CDF, winsorized sums via broadcast cutoff join."""
+    from ontology_loader_spark.operators.events import winsorized_stats
+
+    return winsorized_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source token-length quantiles via the histogram-CDF
     shape (one narrow agg + a bounded distinct-value window — never a
@@ -663,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
         "triangle_count": q_triangle_count,
+        "span_dedup": q_span_dedup,
+        "event_winsorized_stats": q_event_winsorized_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -734,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": _text.group_quantiles_sql(),
         "containment_dedup": _dedup.containment_dedup_sql(),
         "triangle_count": _graph.triangle_counts_sql(),
+        "span_dedup": _dedup.span_dedup_sql(),
+        "event_winsorized_stats": _events.winsorized_stats_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

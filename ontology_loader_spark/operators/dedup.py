@@ -364,6 +364,110 @@ SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM votes"""
     )
 
 
+# ----------------------------------------------- span-level exact dedup
+
+SPAN_W = 16      # tokens per hashed span window
+SPAN_STRIDE = 8  # window start stride (W/2 -> every token covered twice)
+
+
+def span_dedup(
+    documents: DataFrame, span_w: int = SPAN_W, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Exact substring-level deduplication à la "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al. 2022), at span
+    granularity: hash every ``span_w``-token window at ``stride``
+    offsets; a span whose hash occurs more than once ANYWHERE in the
+    corpus is a duplicate, and its first occurrence — min doc_id, then
+    min position — is the canonical copy a cleaner keeps. Output one
+    row per span occurrence: (doc_id, pos, span_hash, is_dup,
+    is_canonical); ``pos`` is the 1-based token offset.
+
+    Scale design: the suffix-array the paper builds is replaced by
+    hash-grouping, the shuffle-native formulation — explode is
+    |tokens|/stride rows per doc (same order as tokenization), the
+    occurrence count + min-doc aggregation is one map-side-combinable
+    groupBy on the md5 span hash (uniform key, no skew), and the
+    canonical position needs one more bounded aggregation restricted
+    to the min doc. A boilerplate span repeated 10⁶ times is still
+    ONE aggregate row — re-attaching verdicts to occurrences is a
+    hash-sized-to-corpus-sized equi-join with no fan-out."""
+    ts = F.expr("filter(split(lower(text), ' '), t -> t <> '')")
+    spans = (
+        documents.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= span_w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("ts") - (span_w - 1), F.lit(stride)
+                )
+            ).alias("pos"),
+            F.col("ts"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr(f"array_join(slice(ts, pos, {span_w}), ' ')")).alias(
+                "span_hash"
+            ),
+        )
+    )
+    meta = spans.groupBy("span_hash").agg(
+        F.count("*").alias("occ"), F.min("doc_id").alias("c_doc")
+    )
+    canon_pos = (
+        spans.join(
+            meta.select("span_hash", "c_doc").hint("shuffle_hash"),
+            ["span_hash"],
+        )
+        .filter(F.col("doc_id") == F.col("c_doc"))
+        .groupBy("span_hash")
+        .agg(F.min("pos").alias("c_pos"))
+    )
+    verdicts = meta.join(canon_pos.hint("shuffle_hash"), "span_hash")
+    return spans.join(verdicts.hint("shuffle_hash"), "span_hash").select(
+        "doc_id",
+        "pos",
+        "span_hash",
+        (F.col("occ") > 1).alias("is_dup"),
+        (
+            (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos"))
+        ).alias("is_canonical"),
+    )
+
+
+def span_dedup_sql(span_w: int = SPAN_W, stride: int = SPAN_STRIDE) -> str:
+    return f"""
+WITH spans AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(ts[pos:pos + {span_w - 1}], ' ')) AS span_hash
+  FROM (
+    SELECT doc_id, ts,
+           unnest(range(1, len(ts) - {span_w - 1} + 1, {stride})) AS pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ) WHERE len(ts) >= {span_w}
+  )
+),
+meta AS (
+  SELECT span_hash, COUNT(*) AS occ, MIN(doc_id) AS c_doc
+  FROM spans GROUP BY span_hash
+),
+canon_pos AS (
+  SELECT s.span_hash, MIN(s.pos) AS c_pos
+  FROM spans s JOIN meta m ON m.span_hash = s.span_hash AND s.doc_id = m.c_doc
+  GROUP BY s.span_hash
+)
+SELECT s.doc_id AS doc_id, s.pos AS pos, s.span_hash AS span_hash,
+       m.occ > 1 AS is_dup,
+       (s.doc_id = m.c_doc AND s.pos = c.c_pos) AS is_canonical
+FROM spans s
+JOIN meta m ON m.span_hash = s.span_hash
+JOIN canon_pos c ON c.span_hash = s.span_hash"""
+
+
 # ------------------------------------------------- containment dedup
 
 # rare-shingle candidate generation: only shingles appearing in

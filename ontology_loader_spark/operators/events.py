@@ -420,3 +420,80 @@ SELECT i.int_id,
 FROM ints i LEFT JOIN probes p
   ON p.user_id = i.user_id AND p.ts >= i.t0 AND p.ts < i.t1
 GROUP BY i.int_id"""
+
+
+# ------------------------------------------------------- winsorization
+
+WINSOR_PCT = 90
+
+
+def winsorized_stats(events: DataFrame, pct: int = WINSOR_PCT) -> DataFrame:
+    """Robust per-event-type value statistics with the heavy tail
+    clipped at the type's own exact p``pct`` — the outlier-resistant
+    aggregate a metrics pipeline reports when a few whale events would
+    otherwise dominate a mean. Output (event_type, n_events,
+    sum_value_cents, sum_winsorized_cents, p_cutoff_cents).
+
+    Same histogram-CDF discipline as ``text.group_quantiles``: values
+    quantize to exact integer cents, the quantile comes from a
+    (type, cents) histogram — map-side combinable, window only over
+    DISTINCT cent values — and the cutoff joins back as a
+    broadcast (|event types| rows). Clipping is LEAST(cents, cutoff);
+    every sum is an integer sum, so engines agree bit-for-bit."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev = events.select("event_type", cents.alias("cents"))
+    hist = ev.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cutoff = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") * 100 >= pct * F.col("n"), F.col("cents")))
+            .cast("long")
+            .alias("cutoff")
+        )
+    )
+    return (
+        ev.join(F.broadcast(cutoff), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+            F.sum(F.least(F.col("cents"), F.col("cutoff"))).alias(
+                "sum_winsorized_cents"
+            ),
+            F.min("cutoff").alias("p_cutoff_cents"),
+        )
+    )
+
+
+def winsorized_stats_sql(pct: int = WINSOR_PCT) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+hist AS (SELECT event_type, cents, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY 1),
+cutoff AS (
+  SELECT c.event_type,
+         CAST(MIN(CASE WHEN c.cum * 100 >= {pct} * t.n THEN c.cents END)
+              AS BIGINT) AS cutoff
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  GROUP BY c.event_type
+)
+SELECT e.event_type AS event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(e.cents) AS BIGINT) AS sum_value_cents,
+       CAST(SUM(LEAST(e.cents, co.cutoff)) AS BIGINT) AS sum_winsorized_cents,
+       CAST(MIN(co.cutoff) AS BIGINT) AS p_cutoff_cents
+FROM ev e JOIN cutoff co ON co.event_type = e.event_type
+GROUP BY e.event_type"""

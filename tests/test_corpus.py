@@ -422,3 +422,47 @@ def test_group_quantiles_partitioning_invariant(spark):
     one = sorted(map(tuple, group_quantiles(docs.coalesce(1)).collect()))
     many = sorted(map(tuple, group_quantiles(docs.repartition(11)).collect()))
     assert one == many
+
+
+# ----------------------------------------------------- span dedup
+
+
+def test_span_dedup_cross_doc_and_within_doc(spark):
+    """Exact duplicate docs: every span dup, canonicals all in the min
+    doc_id. Within-doc repetition: the aligned repeat is flagged with
+    the earlier position canonical. Unique doc: nothing flagged."""
+    from ontology_loader_spark.operators.dedup import span_dedup
+
+    base = " ".join(f"a{i}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    block = " ".join(f"b{i}" for i in range(16))
+    rows = [(1, base), (2, base), (3, uniq), (4, block + " " + block)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["pos"]): (r["is_dup"], r["is_canonical"])
+        for r in span_dedup(docs).collect()
+    }
+    # docs 1/2: spans at pos 1,9,17,25 (len 40, W=16, stride 8)
+    for pos in (1, 9, 17, 25):
+        assert out[(1, pos)] == (True, True)
+        assert out[(2, pos)] == (True, False)
+    # doc 3: unique -> not dup, trivially canonical
+    for pos in (1, 9, 17):
+        assert out[(3, pos)] == (False, True)
+    # doc 4: pos 1 == pos 17 (the repeated block), pos 9 straddles
+    assert out[(4, 1)] == (True, True)
+    assert out[(4, 17)] == (True, False)
+    assert out[(4, 9)] == (False, True)
+
+
+def test_span_dedup_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.dedup import span_dedup
+
+    text = " ".join(f"t{i % 23}" for i in range(100))
+    rows = [(i, text) for i in range(6)] + [
+        (10 + i, " ".join(f"x{i}_{j}" for j in range(50))) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, span_dedup(docs.coalesce(1)).collect()))
+    many = sorted(map(tuple, span_dedup(docs.repartition(5)).collect()))
+    assert one == many

@@ -170,3 +170,37 @@ def test_cohort_retention_fixture(spark):
            for r in cohort_retention(events).collect()}
     # offset 0: all 3 users; offset 1: users 1 and 3
     assert got == {0: 3, 1: 2}
+
+
+# ------------------------------------------------------- winsorization
+
+
+def test_winsorized_stats_discrete_cutoff(spark):
+    """Type a: cents 1..10 -> p90 cutoff = 9 (least cents with cdf >=
+    0.9), winsorized sum clips only the 10. Type b: constant values
+    are their own cutoff."""
+    from ontology_loader_spark.operators.events import winsorized_stats
+
+    rows = [("a", i / 100.0) for i in range(1, 11)] + [("b", 0.05)] * 4
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (
+            r["n_events"],
+            r["sum_value_cents"],
+            r["sum_winsorized_cents"],
+            r["p_cutoff_cents"],
+        )
+        for r in winsorized_stats(ev).collect()
+    }
+    assert got["a"] == (10, 55, 54, 9)
+    assert got["b"] == (4, 20, 20, 5)
+
+
+def test_winsorized_stats_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.events import winsorized_stats
+
+    rows = [(f"t{i % 3}", (i % 47) / 10.0) for i in range(500)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    one = sorted(map(tuple, winsorized_stats(ev.coalesce(1)).collect()))
+    many = sorted(map(tuple, winsorized_stats(ev.repartition(9)).collect()))
+    assert one == many
