@@ -485,6 +485,15 @@ def q_event_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU: sliding-window COUNT(DISTINCT) via a bounded ×7
+    explode of the deduped (user, day) relation — no per-day rescan,
+    no window-distinct."""
+    from ontology_loader_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source token-length quantiles via the histogram-CDF
     shape (one narrow agg + a bounded distinct-value window — never a
@@ -682,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "span_dedup": q_span_dedup,
         "event_winsorized_stats": q_event_winsorized_stats,
+        "rolling_active_users": q_rolling_active_users,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -755,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _graph.triangle_counts_sql(),
         "span_dedup": _dedup.span_dedup_sql(),
         "event_winsorized_stats": _events.winsorized_stats_sql(),
+        "rolling_active_users": _events.rolling_active_users_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

@@ -204,3 +204,44 @@ def test_winsorized_stats_partitioning_invariant(spark):
     one = sorted(map(tuple, winsorized_stats(ev.coalesce(1)).collect()))
     many = sorted(map(tuple, winsorized_stats(ev.repartition(9)).collect()))
     assert one == many
+
+
+# -------------------------------------------------- rolling actives
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """u1 active day 0 and 3; u2 active day 0 only. WAU(d) counts
+    users active in [d-6, d]; DAU counts that day only."""
+    import datetime as dt
+
+    from ontology_loader_spark.operators.events import rolling_active_users
+
+    epoch = dt.datetime(1970, 1, 1)
+
+    def ts(day, h=1):
+        return epoch + dt.timedelta(days=day, hours=h)
+
+    rows = [(1, ts(0)), (1, ts(0, 2)), (1, ts(3)), (2, ts(0))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day_epoch"]: (r["dau"], r["wau"])
+        for r in rolling_active_users(ev).collect()
+    }
+    # only days WITH activity are reported: day 0 and day 3
+    assert got == {0: (2, 2), 3: (1, 2)}
+
+
+def test_rolling_active_users_partitioning_invariant(spark):
+    import datetime as dt
+
+    from ontology_loader_spark.operators.events import rolling_active_users
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (i % 13, epoch + dt.timedelta(days=i % 19, minutes=i))
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    one = sorted(map(tuple, rolling_active_users(ev.coalesce(1)).collect()))
+    many = sorted(map(tuple, rolling_active_users(ev.repartition(8)).collect()))
+    assert one == many
