@@ -485,6 +485,15 @@ def q_event_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy in integer micro-nats
+    (floor-quantized ln per histogram row, then exact integer sums —
+    the lm_score determinism discipline)."""
+    from ontology_loader_spark.operators.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU: sliding-window COUNT(DISTINCT) via a bounded ×7
     explode of the deduped (user, day) relation — no per-day rescan,
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "event_winsorized_stats": q_event_winsorized_stats,
         "rolling_active_users": q_rolling_active_users,
+        "char_entropy": q_char_entropy,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -766,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _dedup.span_dedup_sql(),
         "event_winsorized_stats": _events.winsorized_stats_sql(),
         "rolling_active_users": _events.rolling_active_users_sql(),
+        "char_entropy": _text.char_entropy_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

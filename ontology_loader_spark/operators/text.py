@@ -656,3 +656,73 @@ def normalize_text_sql() -> str:
     return f"""
 SELECT doc_id, {norm} AS norm_text, {norm} <> text AS changed
 FROM documents"""
+
+
+# ------------------------------------------------------- char entropy
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Character-distribution Shannon entropy per doc in integer
+    micro-nats — the classic low-quality-text signal (binary blobs and
+    repeated-char runs score near 0; natural text clusters tightly).
+    Output (doc_id, n_chars_counted, entropy_micro) with
+    entropy_micro = floor(ln(n)·1e6) − (Σ cᵢ·floor(ln(cᵢ)·1e6)) div n,
+    the floor-quantized form of H = ln n − (1/n)Σ cᵢ ln cᵢ.
+
+    Same determinism discipline as ``lm_score``: ln is quantized to
+    integer micro-nats per HISTOGRAM ROW (input is the exact integer
+    count, so both engines floor the same double), and everything
+    after is associative integer arithmetic — shuffle-order-free. The
+    char histogram is a map-side-combinable (doc, char) groupBy whose
+    output is bounded by |alphabet| per doc, not |text|."""
+    chars = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        hist.select(
+            "doc_id",
+            "c",
+            (F.col("c") * F.floor(F.log(F.col("c").cast("double")) * LM_MICRO)
+             .cast("long")).alias("clnc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_counted"),
+            F.sum("clnc").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            (
+                F.floor(F.log(F.col("n_chars_counted").cast("double")) * LM_MICRO)
+                .cast("long")
+                - F.expr("s div n_chars_counted")
+            ).cast("long").alias("entropy_micro"),
+        )
+    )
+
+
+def char_entropy_sql() -> str:
+    return f"""
+WITH chars AS (
+  SELECT doc_id, ch FROM (
+    SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents
+  ) WHERE ch <> ''
+),
+hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+perdoc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+         CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * {LM_MICRO}) AS BIGINT))
+              AS BIGINT) AS s
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted,
+       CAST(CAST(FLOOR(ln(CAST(n_chars_counted AS DOUBLE)) * {LM_MICRO})
+                 AS BIGINT)
+            - s // n_chars_counted AS BIGINT) AS entropy_micro
+FROM perdoc"""

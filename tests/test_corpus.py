@@ -466,3 +466,41 @@ def test_span_dedup_partitioning_invariant(spark):
     one = sorted(map(tuple, span_dedup(docs.coalesce(1)).collect()))
     many = sorted(map(tuple, span_dedup(docs.repartition(5)).collect()))
     assert one == many
+
+
+# ----------------------------------------------------- char entropy
+
+
+def test_char_entropy_known_values(spark):
+    """'aaaa' -> H = 0; 'ab' -> H = ln 2; micro-nat quantization
+    floors each term."""
+    import math
+
+    from ontology_loader_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["entropy_micro"])
+        for r in char_entropy(docs).collect()
+    }
+    # doc 1: one char class -> ln(4) - (4*ln(4))/4 quantized
+    ln4 = math.floor(math.log(4) * 1e6)
+    assert got[1] == (4, ln4 - (4 * ln4) // 4)  # == 0
+    assert got[1][1] == 0
+    # doc 2: two singleton chars: ln(2) - 0 (ln 1 = 0)
+    assert got[2] == (2, math.floor(math.log(2) * 1e6))
+    # doc 3: 2x a + 2x b: ln(4) - (2*q(ln2)+2*q(ln2)) div 4
+    q2 = math.floor(math.log(2) * 1e6)
+    assert got[3] == (4, ln4 - (4 * q2) // 4)
+
+
+def test_char_entropy_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.text import char_entropy
+
+    rows = [(i, f"text sample {i % 7} with mixed chars!") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, char_entropy(docs.coalesce(1)).collect()))
+    many = sorted(map(tuple, char_entropy(docs.repartition(9)).collect()))
+    assert one == many
