@@ -485,6 +485,22 @@ def q_event_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of corpus-unique shingles (memorization /
+    boilerplate dial): one df agg + one no-fan-out equi-join."""
+    from ontology_loader_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(_docs(spark, sf_dir))
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√n temperature mixing weights per source, ppm-normalized with
+    pure integer arithmetic over a domain-bounded window."""
+    from ontology_loader_spark.operators.corpus import domain_mixture_weights
+
+    return domain_mixture_weights(_docs(spark, sf_dir))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character Shannon entropy in integer micro-nats
     (floor-quantized ln per histogram row, then exact integer sums —
@@ -702,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_winsorized_stats": q_event_winsorized_stats,
         "rolling_active_users": q_rolling_active_users,
         "char_entropy": q_char_entropy,
+        "shingle_novelty": q_shingle_novelty,
+        "domain_mixture_weights": q_domain_mixture_weights,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -777,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         "event_winsorized_stats": _events.winsorized_stats_sql(),
         "rolling_active_users": _events.rolling_active_users_sql(),
         "char_entropy": _text.char_entropy_sql(),
+        "shingle_novelty": _dedup.shingle_novelty_sql(),
+        "domain_mixture_weights": _corpus.domain_mixture_weights_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

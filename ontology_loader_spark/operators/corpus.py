@@ -530,3 +530,57 @@ LEFT JOIN near n ON n.doc_id = d.doc_id
 LEFT JOIN contam c ON c.doc_id = d.doc_id
 LEFT JOIN rep r ON r.doc_id = d.doc_id
 LEFT JOIN lowq q ON q.doc_id = d.doc_id"""
+
+
+# ----------------------------------------------- domain mixture weights
+
+MIX_PPM = 1_000_000
+
+
+def domain_mixture_weights(
+    documents: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Temperature-based domain mixing weights (the √n rule — α = 0.5
+    between proportional α=1 and uniform α=0): each domain's sampling
+    weight is isqrt(n_docs), normalized to parts-per-million. Output
+    (group, n_docs, weight, share_ppm). Up-weights small domains
+    relative to raw proportions without letting one giant crawl
+    dominate — the standard mixture step before stratified sampling.
+
+    Exactness: IEEE sqrt is correctly rounded, so floor(sqrt(n)) of an
+    exact integer is engine-identical; the normalization is integer
+    cross-multiplication over a window whose row count is the number
+    of DOMAINS (dictionary-bounded — the one place an unpartitioned
+    window is safe by construction)."""
+    counts = documents.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    total = Window.partitionBy()
+    return (
+        w.withColumn("tw", F.sum("weight").over(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "weight",
+            F.expr(f"(weight * {MIX_PPM}) div tw").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+def domain_mixture_weights_sql(group_col: str = "source") -> str:
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, COUNT(*) AS n_docs
+  FROM documents GROUP BY {group_col}
+),
+w AS (
+  SELECT grp, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight
+  FROM counts
+)
+SELECT grp AS {group_col}, n_docs, weight,
+       CAST((weight * {MIX_PPM}) // SUM(weight) OVER () AS BIGINT) AS share_ppm
+FROM w"""

@@ -620,3 +620,44 @@ SELECT
   containment
 FROM scored WHERE containment >= {threshold}"""
     )
+
+
+# ---------------------------------------------------- shingle novelty
+
+
+def shingle_novelty(documents: DataFrame) -> DataFrame:
+    """Per-doc novelty: how much of a document's shingle set appears
+    NOWHERE else in the corpus — the memorization/boilerplate
+    dial (low novelty = the doc is assembled from corpus-common
+    n-grams). Output (doc_id, n_shingles, n_novel) with n_novel =
+    count of the doc's distinct shingles whose corpus df is 1.
+
+    Reuses the dedup shingle relation: one df aggregation on the
+    shingle key (map-side combinable), one equi-join back — the df
+    table is one row per distinct shingle, so a boilerplate shingle
+    with df 10⁶ is still one joined row per occurrence, no fan-out."""
+    ds = doc_shingles(documents).distinct()
+    df = ds.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        ds.join(df.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+
+
+def shingle_novelty_sql() -> str:
+    return (
+        "WITH " + DOC_SHINGLES_CTE.strip() + """,
+ds AS (SELECT DISTINCT doc_id, shingle FROM doc_shingles),
+df AS (SELECT shingle, COUNT(*) AS df FROM ds GROUP BY shingle)
+SELECT d.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM ds d JOIN df f ON f.shingle = d.shingle
+GROUP BY d.doc_id"""
+    )

@@ -504,3 +504,41 @@ def test_char_entropy_partitioning_invariant(spark):
     one = sorted(map(tuple, char_entropy(docs.coalesce(1)).collect()))
     many = sorted(map(tuple, char_entropy(docs.repartition(9)).collect()))
     assert one == many
+
+
+# --------------------------------------------- novelty & mixture
+
+
+def test_shingle_novelty_planted(spark):
+    """Two identical docs share every shingle (novelty 0); a unique
+    doc is 100% novel."""
+    from ontology_loader_spark.operators.dedup import shingle_novelty
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, uniq)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in shingle_novelty(docs).collect()
+    }
+    assert got[1] == (8, 0) and got[2] == (8, 0)  # 10 tokens -> 8 shingles
+    assert got[3] == (8, 8)
+
+
+def test_domain_mixture_weights_sqrt_rule(spark):
+    """100-doc and 4-doc domains: weights 10 and 2, shares 10/12 and
+    2/12 of a million (integer division)."""
+    from ontology_loader_spark.operators.corpus import domain_mixture_weights
+
+    rows = [(i, "t", "big") for i in range(100)] + [
+        (1000 + i, "t", "small") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["weight"], r["share_ppm"])
+        for r in domain_mixture_weights(docs).collect()
+    }
+    assert got["big"] == (100, 10, 10 * 1_000_000 // 12)
+    assert got["small"] == (4, 2, 2 * 1_000_000 // 12)
