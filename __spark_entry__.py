@@ -485,6 +485,15 @@ def q_event_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_topk_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 docs per source: the rank<=k filter sits directly on the
+    window so Catalyst's WindowGroupLimit turns it into map-side
+    partial top-k (plan-test pinned)."""
+    from ontology_loader_spark.operators.corpus import topk_per_domain
+
+    return topk_per_domain(_docs(spark, sf_dir))
+
+
 def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of corpus-unique shingles (memorization /
     boilerplate dial): one df agg + one no-fan-out equi-join."""
@@ -720,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "shingle_novelty": q_shingle_novelty,
         "domain_mixture_weights": q_domain_mixture_weights,
+        "topk_per_domain": q_topk_per_domain,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -797,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _text.char_entropy_sql(),
         "shingle_novelty": _dedup.shingle_novelty_sql(),
         "domain_mixture_weights": _corpus.domain_mixture_weights_sql(),
+        "topk_per_domain": _corpus.topk_per_domain_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

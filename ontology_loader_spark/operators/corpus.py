@@ -584,3 +584,46 @@ w AS (
 SELECT grp AS {group_col}, n_docs, weight,
        CAST((weight * {MIX_PPM}) // SUM(weight) OVER () AS BIGINT) AS share_ppm
 FROM w"""
+
+
+# -------------------------------------------------- top-k per domain
+
+TOPK_PER_DOMAIN = 5
+
+
+def topk_per_domain(
+    documents: DataFrame, k: int = TOPK_PER_DOMAIN, group_col: str = "source"
+) -> DataFrame:
+    """The k longest documents per domain (deterministic tiebreak on
+    doc_id) — the "best representatives per source" selection step.
+    Output (group, rank, doc_id, n_chars).
+
+    Scale shape: a ranked window with the ``rank <= k`` filter
+    DIRECTLY over it, which Catalyst rewrites via WindowGroupLimit
+    into a per-partition partial top-k BEFORE the shuffle (pinned by
+    plan test) — each map task forwards at most k rows per group, so
+    the exchange carries ~k·|groups| rows, not the corpus, and the hot
+    domain that would serialize a naive per-group sort never
+    materializes its full row set on one task."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select(group_col, "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(group_col), F.col("rank").cast("long").alias("rank"),
+                "doc_id", "n_chars")
+    )
+
+
+def topk_per_domain_sql(k: int = TOPK_PER_DOMAIN, group_col: str = "source") -> str:
+    return f"""
+SELECT {group_col}, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+FROM (
+  SELECT {group_col}, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+WHERE rank <= {k}"""

@@ -542,3 +542,33 @@ def test_domain_mixture_weights_sqrt_rule(spark):
     }
     assert got["big"] == (100, 10, 10 * 1_000_000 // 12)
     assert got["small"] == (4, 2, 2 * 1_000_000 // 12)
+
+
+# ------------------------------------------------ top-k per domain
+
+
+def test_topk_per_domain_semantics_and_window_group_limit(spark):
+    from ontology_loader_spark.operators.corpus import topk_per_domain
+
+    rows = [(i, "t", "a", 100 - i) for i in range(10)] + [
+        (100 + i, "t", "b", 50) for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = sorted(
+        (r["source"], r["rank"], r["doc_id"], r["n_chars"])
+        for r in topk_per_domain(docs, k=3).collect()
+    )
+    assert got == [
+        ("a", 1, 0, 100), ("a", 2, 1, 99), ("a", 3, 2, 98),
+        # domain b ties on n_chars -> doc_id ascending breaks them
+        ("b", 1, 100, 50), ("b", 2, 101, 50), ("b", 3, 102, 50),
+    ]
+    # the rank<=k filter must be pushed into a pre-shuffle partial
+    # top-k (WindowGroupLimit), not applied after a full window sort
+    plan = (
+        topk_per_domain(docs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
