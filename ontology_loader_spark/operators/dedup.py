@@ -553,7 +553,13 @@ def containment_dedup(
         .agg(F.count("*").alias("n_inter"))
     )
     scored = (
-        inter.join(
+        # left join + zero-fill so disjoint candidate pairs score 0.0
+        # instead of vanishing (same shape as ngram_jaccard); pairs
+        # whose doc is too short to shingle drop at the sizes join
+        pairs.join(F.broadcast(inter) if broadcast_pairs else inter,
+                   ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(
             sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
         )
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
@@ -608,11 +614,13 @@ inter AS (
   GROUP BY c.a, c.b
 ),
 scored AS (
-  SELECT i.a, i.b, sa.n AS na, sb.n AS nb,
-    CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.a
-  JOIN sizes sb ON sb.doc_id = i.b
+  SELECT c.a, c.b, sa.n AS na, sb.n AS nb,
+    CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
 )
 SELECT
   CASE WHEN na < nb OR (na = nb AND a < b) THEN a ELSE b END AS contained,
