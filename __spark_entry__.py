@@ -519,6 +519,14 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload → typed column → per-type rollup via codegen'd
+    get_json_object (payload never leaves the JVM)."""
+    from ontology_loader_spark.operators.events import props_stats
+
+    return props_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU: sliding-window COUNT(DISTINCT) via a bounded ×7
     explode of the deduped (user, day) relation — no per-day rescan,
@@ -730,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "domain_mixture_weights": q_domain_mixture_weights,
         "topk_per_domain": q_topk_per_domain,
+        "event_props_stats": q_props_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -808,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": _dedup.shingle_novelty_sql(),
         "domain_mixture_weights": _corpus.domain_mixture_weights_sql(),
         "topk_per_domain": _corpus.topk_per_domain_sql(),
+        "event_props_stats": _events.props_stats_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

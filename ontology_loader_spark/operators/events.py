@@ -553,3 +553,43 @@ contrib AS (
 wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day)
 SELECT d.day AS day_epoch, d.dau AS dau, w.wau AS wau
 FROM dau d JOIN wau w ON w.day = d.day"""
+
+
+# --------------------------------------------- semi-structured props
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured payload handling: pull the numeric ``k`` field
+    out of the JSON ``props`` column and aggregate it per event type —
+    the standard "JSON blob → typed column → rollup" step. Output
+    (event_type, n_with_k, sum_k, min_k, max_k).
+
+    Spark-first: ``get_json_object`` is a JVM-side JSON-path
+    expression inside whole-stage codegen — the payload never reaches
+    Python, and Catalyst prunes the scan to (event_type, props). Rows
+    whose props lack ``k`` (or fail to parse) contribute NULL, which
+    the aggregates skip; all outputs are exact integers."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def props_stats_sql() -> str:
+    return """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+GROUP BY event_type"""

@@ -245,3 +245,22 @@ def test_rolling_active_users_partitioning_invariant(spark):
     one = sorted(map(tuple, rolling_active_users(ev.coalesce(1)).collect()))
     many = sorted(map(tuple, rolling_active_users(ev.repartition(8)).collect()))
     assert one == many
+
+
+# ---------------------------------------------------- props extract
+
+
+def test_props_stats_parses_and_skips_malformed(spark):
+    from ontology_loader_spark.operators.events import props_stats
+
+    rows = [
+        ("a", '{"k": 3}'), ("a", '{"k": 7}'), ("a", '{"other": 1}'),
+        ("b", "not json"), ("b", '{"k": 10}'),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
+    got = {
+        r["event_type"]: (r["n_with_k"], r["sum_k"], r["min_k"], r["max_k"])
+        for r in props_stats(ev).collect()
+    }
+    assert got["a"] == (2, 10, 3, 7)
+    assert got["b"] == (1, 10, 10, 10)
