@@ -519,6 +519,31 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness in one conditional-distinct pass over
+    the ×30 exploded (user, day) relation."""
+    from ontology_loader_spark.operators.events import engagement_ratios
+
+    return engagement_ratios(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain vocabulary overlap from KMV sketches — the pair
+    stage is sketch-sized (|sources|·k rows), never corpus-sized; the
+    KMV Jaccard estimator is an exact integer ratio."""
+    from ontology_loader_spark.operators.sketch import source_token_overlap
+
+    return source_token_overlap(_docs(spark, sf_dir))
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram logprobs, micro-nat quantized per distinct
+    bigram — the order-sensitive fluency signal above lm_score."""
+    from ontology_loader_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload → typed column → per-type rollup via codegen'd
     get_json_object (payload never leaves the JVM)."""
@@ -739,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_weights": q_domain_mixture_weights,
         "topk_per_domain": q_topk_per_domain,
         "event_props_stats": q_props_stats,
+        "bigram_lm_score": q_bigram_lm_score,
+        "source_token_overlap": q_source_token_overlap,
+        "engagement_ratios": q_engagement_ratios,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -818,6 +846,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture_weights": _corpus.domain_mixture_weights_sql(),
         "topk_per_domain": _corpus.topk_per_domain_sql(),
         "event_props_stats": _events.props_stats_sql(),
+        "bigram_lm_score": _text.bigram_lm_score_sql(),
+        "source_token_overlap": _sketch.source_token_overlap_sql(),
+        "engagement_ratios": _events.engagement_ratios_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

@@ -593,3 +593,68 @@ FROM (
   SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
 )
 GROUP BY event_type"""
+
+
+MAU_DAYS = 30
+
+
+def engagement_ratios(events: DataFrame) -> DataFrame:
+    """DAU / WAU / MAU / stickiness in ONE pass: each deduped
+    (user, day) activity row explodes into the 30 trailing days it can
+    contribute to, and a single groupBy(day) computes all three active
+    counts as conditional COUNT(DISTINCT) on the explode offset
+    (off = 0 → today, ≤ 6 → trailing week, any → trailing month).
+    Output (day_epoch, dau, wau, mau, stickiness_ppm) for days with
+    activity; stickiness = dau·1e6 div mau, the classic engagement
+    ratio, exact integers end to end. Same bounded-fan-out scale story
+    as ``rolling_active_users`` — ×30 on a relation already collapsed
+    to (user, day)."""
+    day = F.floor(_epoch_sec("ts") / DAY_SEC).cast("long")
+    active = events.select("user_id", day.alias("day")).distinct()
+    contrib = active.select(
+        "user_id",
+        F.col("day").alias("src_day"),
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (MAU_DAYS - 1))
+        ).alias("day"),
+    ).withColumn("off", F.col("day") - F.col("src_day"))
+    agg = contrib.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("off") <= WAU_DAYS - 1, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return (
+        agg.join(active.select("day").distinct(), "day", "left_semi")
+        .select(
+            F.col("day").alias("day_epoch"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr(f"(dau * {10**6}) div mau").cast("long").alias("stickiness_ppm"),
+        )
+    )
+
+
+def engagement_ratios_sql() -> str:
+    return f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / {DAY_SEC}) AS BIGINT) AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day AS src_day, day + off AS day, off
+  FROM active, range(0, {MAU_DAYS}) AS t(off)
+),
+agg AS (
+  SELECT day,
+         COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+         COUNT(DISTINCT CASE WHEN off <= {WAU_DAYS - 1} THEN user_id END) AS wau,
+         COUNT(DISTINCT user_id) AS mau
+  FROM contrib GROUP BY day
+)
+SELECT a.day AS day_epoch, a.dau AS dau, a.wau AS wau, a.mau AS mau,
+       CAST((a.dau * {10**6}) // a.mau AS BIGINT) AS stickiness_ppm
+FROM agg a WHERE a.day IN (SELECT day FROM active)"""

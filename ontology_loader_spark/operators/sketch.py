@@ -89,3 +89,111 @@ SELECT role, CAST(COUNT(*) AS INTEGER) AS n_kept, MAX(h) AS h_k,
        ELSE (CAST({k - 1} AS DOUBLE) * {16 ** 12}) / MAX(h) END
   AS estimate_distinct
 FROM kept GROUP BY role"""
+
+
+# -------------------------------------------- KMV set-overlap algebra
+
+def source_token_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise vocabulary overlap between sources from KMV sketches —
+    the mergeable-sketch set algebra (union = re-top-k of merged
+    hashes; intersection via membership in the union's bottom-k) that
+    lets a pipeline compare every domain pair WITHOUT a vocab×vocab
+    join. Output (source_a, source_b, k_used, n_both, jaccard_ppm)
+    with jaccard_ppm = n_both·1e6 div k_used — the standard KMV
+    Jaccard estimator as an exact integer ratio (deterministic md5
+    hashes → value-hashable, unlike HLL intersections).
+
+    Scale split: sketch construction touches the corpus once (distinct
+    (source, token) + per-source bottom-k — the same shape as
+    ``kmv_distinct_tokens``); everything pairwise operates on
+    |sources|·k rows, so the O(|sources|²) pair stage is sketch-sized,
+    never corpus-sized."""
+    toks = (
+        documents.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("source", "tok")
+        .distinct()
+        .withColumn("h", _h48(F.col("tok")))
+        .select("source", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        toks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("source", "h")
+        .localCheckpoint(eager=True)
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    rows_a = pairs.join(
+        sk.withColumnRenamed("source", "source_a"), "source_a"
+    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    rows_b = pairs.join(
+        sk.withColumnRenamed("source", "source_b"), "source_b"
+    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    x = merged.withColumn("rnk", F.row_number().over(wu)).filter(F.col("rnk") <= k)
+    return x.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.expr(f"(sum(in_a * in_b) * {10**6}) div count(*)")
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+def source_token_overlap_sql(k: int = KMV_K) -> str:
+    h = _h48_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (SELECT DISTINCT source, {h} AS h FROM toks),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+    FROM hashed
+  ) WHERE rnk <= {k}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_b
+  ) GROUP BY source_a, source_b, h
+),
+x AS (
+  SELECT * FROM (
+    SELECT source_a, source_b, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rnk
+    FROM merged
+  ) WHERE rnk <= {k}
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+       CAST((SUM(in_a * in_b) * {10**6}) // COUNT(*) AS BIGINT) AS jaccard_ppm
+FROM x GROUP BY source_a, source_b"""

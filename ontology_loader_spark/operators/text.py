@@ -726,3 +726,83 @@ SELECT doc_id, n_chars_counted,
                  AS BIGINT)
             - s // n_chars_counted AS BIGINT) AS entropy_micro
 FROM perdoc"""
+
+
+# ---------------------------------------------------- bigram LM score
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Corpus-bigram conditional-logprob score per doc — one LM order
+    above ``lm_score``: Σ over consecutive token pairs of
+    ln P(w₂|w₁) with P = c(w₁w₂) / c(w₁·), where c(w₁·) counts w₁ as a
+    bigram head (so the distribution is properly normalized). Fluent
+    token order scores high even when every unigram is common — the
+    signal the unigram proxy cannot see. Output (doc_id, n_bigrams,
+    sum_logprob_micro).
+
+    Same determinism contract as ``lm_score``: the logprob is
+    floor-quantized to integer micro-nats once per DISTINCT BIGRAM
+    (both counts are exact integers, so both engines floor the same
+    double), then per-doc sums are associative integer arithmetic.
+    The bigram and head tables are vocabulary²-bounded aggregations on
+    uniform keys; the per-doc pass is one equi-join, no fan-out."""
+    from ontology_loader_spark.operators.dedup import doc_shingles
+
+    bg = doc_shingles(documents, n=2)
+    pair_counts = bg.groupBy("shingle").agg(F.count("*").alias("cp"))
+    head_counts = (
+        pair_counts.withColumn("head", F.split(F.col("shingle"), " ")[0])
+        .groupBy("head")
+        .agg(F.sum("cp").alias("ch"))
+    )
+    lp = (
+        pair_counts.withColumn("head", F.split(F.col("shingle"), " ")[0])
+        .join(head_counts, "head")
+        .select(
+            "shingle",
+            F.floor(
+                F.log(F.col("cp").cast("double") / F.col("ch").cast("double"))
+                * LM_MICRO
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        bg.join(lp.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+    )
+
+
+def bigram_lm_score_sql() -> str:
+    return f"""
+WITH bg AS (
+  SELECT doc_id, array_to_string(ts[pos:pos + 1], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts))) AS pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ) WHERE len(ts) >= 2
+  )
+),
+pair_counts AS (SELECT shingle, COUNT(*) AS cp FROM bg GROUP BY shingle),
+head_counts AS (
+  SELECT string_split(shingle, ' ')[1] AS head, SUM(cp) AS ch
+  FROM pair_counts GROUP BY 1
+),
+lp AS (
+  SELECT p.shingle,
+    CAST(FLOOR(ln(CAST(p.cp AS DOUBLE) / CAST(h.ch AS DOUBLE)) * {1_000_000})
+         AS BIGINT) AS lp_micro
+  FROM pair_counts p
+  JOIN head_counts h ON h.head = string_split(p.shingle, ' ')[1]
+)
+SELECT b.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(l.lp_micro) AS BIGINT) AS sum_logprob_micro
+FROM bg b JOIN lp l ON l.shingle = b.shingle
+GROUP BY b.doc_id"""

@@ -195,3 +195,63 @@ def test_char_entropy_matches_bruteforce(spark):
         s = sum(c * math.floor(math.log(c) * LM_MICRO) for c in hist.values())
         want[doc_id] = (n, math.floor(math.log(n) * LM_MICRO) - s // n)
     assert got == want
+
+
+def test_bigram_lm_score_matches_bruteforce(spark):
+    from ontology_loader_spark.operators.text import LM_MICRO, bigram_lm_score
+
+    rows = _random_docs(seed=19, n_docs=15, lo=2, hi=40)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logprob_micro"])
+        for r in bigram_lm_score(docs).collect()
+    }
+
+    # corpus bigram + head counts
+    cp, ch = {}, {}
+    per_doc = {}
+    for doc_id, text in rows:
+        ts = _tokens(text)
+        bgs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        per_doc[doc_id] = bgs
+        for bg in bgs:
+            cp[bg] = cp.get(bg, 0) + 1
+            ch[bg[0]] = ch.get(bg[0], 0) + 1
+    lp = {bg: math.floor(math.log(c / ch[bg[0]]) * LM_MICRO) for bg, c in cp.items()}
+    want = {
+        doc_id: (len(bgs), sum(lp[bg] for bg in bgs))
+        for doc_id, bgs in per_doc.items()
+        if bgs
+    }
+    assert got == want
+
+
+def test_engagement_ratios_matches_bruteforce(spark):
+    import datetime as dt
+
+    from ontology_loader_spark.operators.events import (
+        MAU_DAYS,
+        WAU_DAYS,
+        engagement_ratios,
+    )
+
+    rng = random.Random(29)
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (rng.randrange(8), epoch + dt.timedelta(days=rng.randrange(40), hours=2))
+        for _ in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day_epoch"]: (r["dau"], r["wau"], r["mau"], r["stickiness_ppm"])
+        for r in engagement_ratios(ev).collect()
+    }
+
+    active = {(u, (ts - epoch).days) for u, ts in rows}
+    want = {}
+    for d in sorted({day for _, day in active}):
+        dau = len({u for u, day in active if day == d})
+        wau = len({u for u, day in active if d - (WAU_DAYS - 1) <= day <= d})
+        mau = len({u for u, day in active if d - (MAU_DAYS - 1) <= day <= d})
+        want[d] = (dau, wau, mau, dau * 10**6 // mau)
+    assert got == want
