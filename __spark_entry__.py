@@ -519,6 +519,14 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative percentile (CDF ppm) per doc via histogram CDF
+    — never a global-order window over corpus rows."""
+    from ontology_loader_spark.operators.text import quality_percentile
+
+    return quality_percentile(_docs(spark, sf_dir))
+
+
 def q_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU + stickiness in one conditional-distinct pass over
     the ×30 exploded (user, day) relation."""
@@ -767,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "source_token_overlap": q_source_token_overlap,
         "engagement_ratios": q_engagement_ratios,
+        "quality_percentile": q_quality_percentile,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -849,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": _text.bigram_lm_score_sql(),
         "source_token_overlap": _sketch.source_token_overlap_sql(),
         "engagement_ratios": _events.engagement_ratios_sql(),
+        "quality_percentile": _text.quality_percentile_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

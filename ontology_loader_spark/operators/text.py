@@ -806,3 +806,56 @@ SELECT b.doc_id AS doc_id,
        CAST(SUM(l.lp_micro) AS BIGINT) AS sum_logprob_micro
 FROM bg b JOIN lp l ON l.shingle = b.shingle
 GROUP BY b.doc_id"""
+
+
+# ---------------------------------------------- percentile normalize
+
+
+def quality_percentile(documents: DataFrame) -> DataFrame:
+    """Corpus-wide percentile normalization of a quality measure
+    (token count here): each doc gets cdf_ppm = P(value ≤ v)·1e6 — the
+    engine-exact form of ``percent_rank`` a pipeline uses to set
+    corpus-relative quality cutoffs ("drop the bottom 5%").
+
+    ``percent_rank() OVER (ORDER BY v)`` serializes the corpus through
+    one task (global-order window). The histogram-CDF form never
+    does: one map-side-combinable value histogram, a running sum over
+    DISTINCT values (bounded by the value range, not the corpus), and
+    a broadcast join back onto the docs. Integer cross-multiplication
+    throughout — bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ntok = documents.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("v"),
+    )
+    hist = ntok.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy().orderBy("v")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    return ntok.join(F.broadcast(cum.select("v", "cum", "n")), "v").select(
+        "doc_id",
+        F.col("v").alias("n_tokens"),
+        F.expr(f"(cum * {LM_MICRO}) div n").cast("long").alias("cdf_ppm"),
+    )
+
+
+def quality_percentile_sql() -> str:
+    return f"""
+WITH ntok AS (
+  SELECT doc_id,
+    CAST(length(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         AS BIGINT) AS v
+  FROM documents
+),
+hist AS (SELECT v, COUNT(*) AS cnt FROM ntok GROUP BY v),
+cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+  FROM hist
+)
+SELECT t.doc_id AS doc_id, t.v AS n_tokens,
+       CAST((c.cum * {LM_MICRO}) // c.n AS BIGINT) AS cdf_ppm
+FROM ntok t JOIN cum c ON c.v = t.v"""

@@ -255,3 +255,26 @@ def test_engagement_ratios_matches_bruteforce(spark):
         mau = len({u for u, day in active if d - (MAU_DAYS - 1) <= day <= d})
         want[d] = (dau, wau, mau, dau * 10**6 // mau)
     assert got == want
+
+
+def test_quality_percentile_matches_bruteforce(spark):
+    from ontology_loader_spark.operators.text import LM_MICRO, quality_percentile
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join("t" for _ in range(rng.randint(1, 25))))
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cdf_ppm"])
+        for r in quality_percentile(docs).collect()
+    }
+
+    vals = {doc_id: len(_tokens(text)) for doc_id, text in rows}
+    n = len(vals)
+    want = {
+        doc_id: (v, sum(1 for u in vals.values() if u <= v) * LM_MICRO // n)
+        for doc_id, v in vals.items()
+    }
+    assert got == want
