@@ -61,3 +61,38 @@ def test_files_per_partition_bounds_file_count(spark, tmp_path):
     for d in glob.glob(f"{path}/source=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) <= 2  # 1 requested; hash collisions may give 2
+
+
+# -------------------------------------------------------- compaction
+
+
+def test_compact_parquet_dir_lossless_and_fewer_files(spark, tmp_path):
+    from ontology_loader_spark.sinks.compact import compact_parquet_dir
+
+    path = str(tmp_path / "many_small")
+    df = _docs(spark, 500)
+    df.repartition(40).write.mode("overwrite").parquet(path)
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    summary = compact_parquet_dir(spark, path, target_bytes=10**9)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    assert summary["files_before"] == 40
+    assert summary["files_after"] == 1  # tiny table, huge target
+    assert summary["rows"] == 500
+    assert before == after
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    from ontology_loader_spark.sinks.compact import (
+        compact_parquet_dir,
+        directory_bytes,
+    )
+
+    path = str(tmp_path / "sized")
+    _docs(spark, 2000).repartition(30).write.mode("overwrite").parquet(path)
+    nbytes = directory_bytes(path)
+    target = max(nbytes // 4, 1)
+    summary = compact_parquet_dir(spark, path, target_bytes=target)
+    # ceil(bytes / target) ≈ 4-5 output files
+    assert 3 <= summary["files_after"] <= 6
