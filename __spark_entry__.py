@@ -519,6 +519,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 training order with a distributed global
+    rank: range-partition + local rank + broadcast offsets — never a
+    single-partition ORDER BY window."""
+    from ontology_loader_spark.operators.corpus import shuffle_order
+
+    return shuffle_order(_docs(spark, sf_dir))
+
+
 def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative percentile (CDF ppm) per doc via histogram CDF
     — never a global-order window over corpus rows."""
@@ -776,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "engagement_ratios": q_engagement_ratios,
         "quality_percentile": q_quality_percentile,
+        "shuffle_order": q_shuffle_order,
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -859,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_overlap": _sketch.source_token_overlap_sql(),
         "engagement_ratios": _events.engagement_ratios_sql(),
         "quality_percentile": _text.quality_percentile_sql(),
+        "shuffle_order": _corpus.shuffle_order_sql(),
         "benchmark_contamination": _text.benchmark_contamination_sql(),
         "dedup_clusters": _corpus.duplicate_clusters_sql(),
         "train_test_split": _corpus.train_test_split_sql(),

@@ -627,3 +627,58 @@ FROM (
   FROM documents
 )
 WHERE rank <= {k}"""
+
+
+# ------------------------------------------------- training order
+
+SHUFFLE_SALT = "shuf:"
+SHUFFLE_RANGE_PARTITIONS = 32
+
+
+def shuffle_order(
+    documents: DataFrame, n_partitions: int = SHUFFLE_RANGE_PARTITIONS
+) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a global
+    position 1..N by md5 rank — reproducible across engines, runs, and
+    cluster sizes (the hash IS the order; no RNG state). Output
+    (doc_id, shuffle_pos).
+
+    The scale problem is the global rank: ``row_number() OVER (ORDER
+    BY h)`` serializes the corpus through one task. Standard
+    distributed fix, expressed declaratively: range-partition on the
+    hash (boundaries may vary — they cannot change the rank, only
+    where it's computed), rank WITHIN each partition, then add
+    per-partition offsets (a cumulative sum over the tiny partition-
+    size table, broadcast back). Two narrow passes, no global sort on
+    one machine — the same shape ``zipWithIndex`` uses, kept in the
+    DataFrame API."""
+    h = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    d = documents.select("doc_id", h.alias("h")).repartitionByRange(
+        n_partitions, "h"
+    )
+    d = d.withColumn("pid", F.spark_partition_id())
+    wl = Window.partitionBy("pid").orderBy("h")
+    local = d.withColumn("local_rank", F.row_number().over(wl))
+    sizes = local.groupBy("pid").agg(F.count("*").alias("sz"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "offset", F.coalesce(F.sum("sz").over(wo), F.lit(0))
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rank")).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+    )
+
+
+def shuffle_order_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR))
+       ) AS BIGINT) AS shuffle_pos
+FROM documents"""

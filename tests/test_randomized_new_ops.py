@@ -278,3 +278,33 @@ def test_quality_percentile_matches_bruteforce(spark):
         for doc_id, v in vals.items()
     }
     assert got == want
+
+
+def test_shuffle_order_matches_bruteforce_and_is_permutation(spark):
+    import hashlib
+
+    from ontology_loader_spark.operators.corpus import SHUFFLE_SALT, shuffle_order
+
+    ids = list(range(0, 400, 3))
+    docs = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_order(docs.repartition(7)).collect()
+    }
+    order = sorted(
+        ids, key=lambda i: hashlib.md5(f"{SHUFFLE_SALT}{i}".encode()).hexdigest()
+    )
+    want = {doc_id: pos + 1 for pos, doc_id in enumerate(order)}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))
+
+
+def test_shuffle_order_partitioning_invariant(spark):
+    from ontology_loader_spark.operators.corpus import shuffle_order
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(250)], "doc_id long, text string"
+    )
+    one = sorted(map(tuple, shuffle_order(docs.coalesce(1), 4).collect()))
+    many = sorted(map(tuple, shuffle_order(docs.repartition(13), 32).collect()))
+    assert one == many
