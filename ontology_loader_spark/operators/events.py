@@ -590,7 +590,9 @@ SELECT event_type,
        CAST(MIN(k) AS BIGINT) AS min_k,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM (
-  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+  -- TRY_CAST, not CAST: a malformed / non-integer k must null out like
+  -- Spark's get_json_object().cast('long'), not error the oracle
+  SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
 )
 GROUP BY event_type"""
 

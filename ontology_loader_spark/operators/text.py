@@ -482,8 +482,13 @@ def bm25_topk(
     FIXED-ORDER arithmetic expression over the per-term partials, so
     double addition order cannot differ between engines; idf uses the
     BM25+ form ln(1 + (N-df+0.5)/(df+0.5)) which stays positive for
-    ubiquitous terms. One wide shuffle total (the token groupBy on
-    doc_id), then a global top-k (TakeOrdered — no full sort)."""
+    ubiquitous terms. The idf — the ONE cross-libm transcendental in
+    the formula (Python math.log here vs DuckDB ln in the oracle) — is
+    floor-quantized to integer micro-nats (the lm_score discipline), so
+    a 1-ulp libm divergence cannot flip score>0 or a rank tie; every
+    other double op is the same IEEE expression tree on both engines.
+    One wide shuffle total (the token groupBy on doc_id), then a global
+    top-k (TakeOrdered — no full sort)."""
     import math
 
     toks = doc_tokens(documents)
@@ -508,8 +513,10 @@ def bm25_topk(
                         / F.lit(avgdl))
     score = F.lit(0.0)
     for i in range(len(query)):
-        idf = math.log(1.0 + (n - stats[f"df{i}"] + 0.5)
-                       / (stats[f"df{i}"] + 0.5))
+        idf = math.floor(
+            math.log(1.0 + (n - stats[f"df{i}"] + 0.5)
+                     / (stats[f"df{i}"] + 0.5)) * LM_MICRO
+        ) / LM_MICRO
         tf = F.col(f"tf{i}").cast("double")
         score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
 
@@ -542,7 +549,8 @@ def bm25_topk_sql(
         for i in range(len(query))
     )
     terms = " + ".join(
-        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f"((FLOOR(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * 1000000.0) / 1000000.0)"
         f" * CAST(p.tf{i} AS DOUBLE) * {k1 + 1.0}"
         f" / (CAST(p.tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b}"
         f" * CAST(p.dl AS DOUBLE) / s.avgdl)))"

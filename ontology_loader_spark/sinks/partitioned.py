@@ -54,8 +54,19 @@ def write_partitioned(
             f"{max_partitions}); partition on a low-cardinality column or "
             "raise the limit explicitly"
         )
+    # repartition keys: hashing ONLY the partition column would land all
+    # rows of one partition value in a single task (one file per dir no
+    # matter what files_per_partition says) — add a row-hash salt bounded
+    # to files_per_partition so each directory splits into at most that
+    # many tasks/files
+    keys = [F.col(partition_col)]
+    if files_per_partition > 1:
+        keys.append(
+            F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                   F.lit(files_per_partition))
+        )
     (
-        df.repartition(max(n_parts * files_per_partition, 1), F.col(partition_col))
+        df.repartition(max(n_parts * files_per_partition, 1), *keys)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(path)

@@ -63,6 +63,22 @@ def translate_merge(sql: str) -> list[str]:
     out: list[str] = []
     clauses = [c for c in re.split(r"(?=WHEN (?:MATCHED|NOT MATCHED))",
                                    sql[when_m.start() + 1:]) if c.strip()]
+    # grammar boundary: MERGE evaluates WHEN MATCHED clauses per-row
+    # (first match wins), but this translator executes them as
+    # SEQUENTIAL statements — mixing UPDATE and DELETE matched clauses
+    # would diverge (the DELETE would also consume rows the UPDATE
+    # clause claimed). The generated programs never mix them; refuse
+    # loudly rather than translate silently-wrong.
+    matched_kinds = {
+        "DELETE" if re.match(r"WHEN MATCHED THEN DELETE", c.strip()) else "UPDATE"
+        for c in clauses
+        if c.strip().startswith("WHEN MATCHED")
+    }
+    if len(matched_kinds) > 1:
+        raise ValueError(
+            "MERGE mixes WHEN MATCHED UPDATE and DELETE clauses — outside "
+            "the sequential-statement translation grammar"
+        )
     for clause in clauses:
         clause = clause.strip()
         mu = re.match(

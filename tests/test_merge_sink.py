@@ -208,3 +208,21 @@ def test_merge_program_end_state_equals_reconcile(spark, tmp_path):
     assert ("X:4", "p", "X:3", "nmdc:OntologyRelation") not in duck_rel
     assert ("X:3", "p", "X:9", "nmdc:OntologyRelation") in duck_rel
     assert sum(1 for t in duck_rel if t[:3] == ("X:1", "p", "X:2")) == 1
+
+
+def test_translate_merge_rejects_mixed_matched_clauses():
+    """The DuckDB translator executes MATCHED clauses as sequential
+    statements; a MERGE mixing MATCHED-UPDATE with MATCHED-DELETE is
+    outside that grammar (sequential DELETE would also consume rows the
+    UPDATE clause claimed) and must fail loudly, not translate wrong."""
+    from ontology_loader_spark.testing.merge_sim import translate_merge
+
+    mixed = (
+        "MERGE INTO cat.kg.t t\n"
+        "USING src s\n"
+        "ON t.id = s.id\n"
+        "WHEN MATCHED AND (s.flag) THEN UPDATE SET t.name = s.name\n"
+        "WHEN MATCHED THEN DELETE"
+    )
+    with pytest.raises(ValueError, match="mixes WHEN MATCHED"):
+        translate_merge(mixed)

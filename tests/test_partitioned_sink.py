@@ -63,6 +63,29 @@ def test_files_per_partition_bounds_file_count(spark, tmp_path):
         assert len(files) <= 2  # 1 requested; hash collisions may give 2
 
 
+def test_files_per_partition_salt_yields_multiple_files(spark, tmp_path):
+    """files_per_partition > 1 must actually split each directory: the
+    repartition keys carry a row-hash salt bounded to the requested
+    count, so one partition value is NOT pinned to a single task."""
+    import glob
+
+    path = str(tmp_path / "part_docs_salted")
+    write_partitioned(
+        _docs(spark, 400), path, "source", files_per_partition=4
+    )
+    multi = 0
+    for d in glob.glob(f"{path}/source=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 4
+        multi += len(files) > 1
+    # with 100 rows per partition and 4 salt values, every directory
+    # should split (salt is md5-free Spark hash — allow one straggler)
+    assert multi >= 3
+    # and the write stays lossless
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+
+
 # -------------------------------------------------------- compaction
 
 
