@@ -718,7 +718,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER is load-bearing: the driver's correctness gate
+    # covers the first 50 entries, so the newest / least-recently-
+    # driver-checked gates go first and long-stable ones rotate to the
+    # back (every entry stays covered by the identical local harness,
+    # scripts/check_queries_vs_oracle.py, either way).
     return {
+        "token_stats": q_token_stats,
+        "group_quantiles": q_group_quantiles,
+        "containment_dedup": q_containment_dedup,
+        "triangle_count": q_triangle_count,
+        "span_dedup": q_span_dedup,
+        "event_winsorized_stats": q_event_winsorized_stats,
+        "rolling_active_users": q_rolling_active_users,
+        "char_entropy": q_char_entropy,
+        "shingle_novelty": q_shingle_novelty,
+        "domain_mixture_weights": q_domain_mixture_weights,
+        "topk_per_domain": q_topk_per_domain,
+        "event_props_stats": q_props_stats,
+        "bigram_lm_score": q_bigram_lm_score,
+        "source_token_overlap": q_source_token_overlap,
+        "engagement_ratios": q_engagement_ratios,
+        "quality_percentile": q_quality_percentile,
+        "shuffle_order": q_shuffle_order,
+        "benchmark_contamination": q_benchmark_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "doc_packing": q_doc_packing,
+        "doc_packing_grouped": q_doc_packing_grouped,
+        "corpus_prep": q_corpus_prep,
+        "full_load": q_full_load,
         "f1_curie_filter": q_f1_curie_filter,
         "class_construction": q_class_construction,
         "root_detection": q_root_detection,
@@ -769,33 +801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
-        "token_stats": q_token_stats,
-        "group_quantiles": q_group_quantiles,
-        "containment_dedup": q_containment_dedup,
-        "triangle_count": q_triangle_count,
-        "span_dedup": q_span_dedup,
-        "event_winsorized_stats": q_event_winsorized_stats,
-        "rolling_active_users": q_rolling_active_users,
-        "char_entropy": q_char_entropy,
-        "shingle_novelty": q_shingle_novelty,
-        "domain_mixture_weights": q_domain_mixture_weights,
-        "topk_per_domain": q_topk_per_domain,
-        "event_props_stats": q_props_stats,
-        "bigram_lm_score": q_bigram_lm_score,
-        "source_token_overlap": q_source_token_overlap,
-        "engagement_ratios": q_engagement_ratios,
-        "quality_percentile": q_quality_percentile,
-        "shuffle_order": q_shuffle_order,
-        "benchmark_contamination": q_benchmark_contamination,
-        "dedup_clusters": q_dedup_clusters,
-        "train_test_split": q_train_test_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "doc_packing": q_doc_packing,
-        "doc_packing_grouped": q_doc_packing_grouped,
-        "corpus_prep": q_corpus_prep,
-        "full_load": q_full_load,
     }
 
 
