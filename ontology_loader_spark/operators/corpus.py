@@ -33,7 +33,7 @@ def duplicate_clusters(
     documents: DataFrame,
     threshold: float = DUP_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
-    broadcast_pairs: bool | None = True,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Resolve verified near-duplicate pairs into clusters: connected
     components over the (LSH candidate ∧ jaccard ≥ threshold) graph,
@@ -48,10 +48,11 @@ def duplicate_clusters(
     variant (size-aware partitioning, never collects).
 
     ``broadcast_pairs`` is forwarded to :func:`ngram_jaccard`: the
-    default force-broadcasts the max_bucket-capped candidate set
-    (right for gate/typical scales); pass ``False`` when the capped
-    set is still beyond the broadcast threshold, or ``None`` to let
-    ``ngram_jaccard`` decide from a measured pair count."""
+    default ``None`` decides from a MEASURED candidate-pair count
+    (safe at any scale — the per-bucket cap bounds pairs per bucket
+    but bucket count grows with the corpus, so the capped set is
+    still corpus-sized); pass ``True``/``False`` to skip the count
+    action when the caller knows the graph's shape."""
     from ontology_loader_spark.transcripts.unionfind import (
         connected_components_auto,
     )
@@ -401,8 +402,19 @@ MAX_TOP_TOKEN = 0.2     # most frequent token's share ceiling
 REP_MIN_SHINGLES = MIN_TOKENS - 2
 
 
+#: verdict priority order — first matching rule wins = MIN priority
+VERDICT_PRIORITIES = (
+    (1, "exact_dup"),
+    (2, "near_dup"),
+    (3, "contaminated"),
+    (4, "repetitive"),
+    (5, "low_quality"),
+    (6, "kept"),
+)
+
+
 def prepare_training_corpus(
-    documents: DataFrame, broadcast_pairs: bool | None = True
+    documents: DataFrame, broadcast_pairs: bool | None = None
 ) -> DataFrame:
     """The end-to-end corpus gate: one verdict per document, first
     matching rule wins —
@@ -419,10 +431,19 @@ def prepare_training_corpus(
                            ceiling
     6. ``kept``
 
-    Composition of the individually-gate-verified operators; each
-    stage's side is a (doc_id)-keyed set that broadcasts against the
-    corpus scan, so the verdict pass adds no wide shuffle beyond what
-    the stages themselves need. Output (doc_id, verdict)."""
+    Composition of the individually-gate-verified operators. Verdict
+    resolution is a PRIORITY UNION, not a join: every stage emits
+    (doc_id, priority), the corpus base contributes priority 6
+    ("kept"), and the verdict is ``groupBy(doc_id).min(priority)`` —
+    one map-side-combinable aggregate on a uniform key. No flag set is
+    ever broadcast or joined against the corpus scan, which matters
+    because the dup/low-quality doc_id sets scale WITH the corpus (a
+    large fraction of a web crawl is duplicates) — a broadcast of
+    those sides would be a driver/executor OOM at 100 TB.
+
+    ``broadcast_pairs=None`` (default) lets :func:`ngram_jaccard`
+    decide from a measured candidate-pair count whether the LSH
+    verify stage may broadcast its pair set."""
     from ontology_loader_spark.operators.dedup import exact_duplicates
     from ontology_loader_spark.operators.text import (
         benchmark_contamination,
@@ -430,62 +451,58 @@ def prepare_training_corpus(
         text_quality,
     )
 
-    exact = (
-        exact_duplicates(documents)
-        .filter(F.col("canonical_id") != F.col("doc_id"))
-        .select("doc_id")
-        .withColumn("f_exact", F.lit(True))
+    def tagged(df: DataFrame, priority: int) -> DataFrame:
+        return df.select("doc_id", F.lit(priority).alias("priority"))
+
+    exact = tagged(
+        exact_duplicates(documents).filter(
+            F.col("canonical_id") != F.col("doc_id")
+        ),
+        1,
     )
-    near = (
-        duplicate_clusters(documents, broadcast_pairs=broadcast_pairs)
-        .filter(F.col("canonical_id") != F.col("doc_id"))
-        .select("doc_id")
-        .withColumn("f_near", F.lit(True))
+    near = tagged(
+        duplicate_clusters(documents, broadcast_pairs=broadcast_pairs).filter(
+            F.col("canonical_id") != F.col("doc_id")
+        ),
+        2,
     )
-    contam = (
-        benchmark_contamination(documents)
-        .select("doc_id")
-        .distinct()
-        .withColumn("f_contam", F.lit(True))
-    )
-    rep = (
-        repetition_stats(documents)
-        .filter(
+    contam = tagged(benchmark_contamination(documents).distinct(), 3)
+    rep = tagged(
+        repetition_stats(documents).filter(
             (F.col("n_shingles") >= REP_MIN_SHINGLES)
             & (
                 (F.col("shingle_rep_ratio") > MAX_SHINGLE_REP)
                 | (F.col("top_token_ratio") > MAX_TOP_TOKEN)
             )
-        )
-        .select("doc_id")
-        .withColumn("f_rep", F.lit(True))
+        ),
+        4,
     )
-    lowq = (
-        text_quality(documents)
-        .filter(
+    lowq = tagged(
+        text_quality(documents).filter(
             (F.col("n_tokens") < MIN_TOKENS)
             | (F.col("stopword_ratio") > MAX_STOPWORD_RATIO)
-        )
-        .select("doc_id")
-        .withColumn("f_lowq", F.lit(True))
+        ),
+        5,
     )
-    return (
-        documents.select("doc_id")
-        .join(F.broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near), "doc_id", "left")
-        .join(F.broadcast(contam), "doc_id", "left")
-        .join(F.broadcast(rep), "doc_id", "left")
-        .join(F.broadcast(lowq), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("f_exact"), F.lit("exact_dup"))
-            .when(F.col("f_near"), F.lit("near_dup"))
-            .when(F.col("f_contam"), F.lit("contaminated"))
-            .when(F.col("f_rep"), F.lit("repetitive"))
-            .when(F.col("f_lowq"), F.lit("low_quality"))
-            .otherwise(F.lit("kept"))
-            .alias("verdict"),
+    base = tagged(documents, 6)
+
+    label_expr = None
+    for p, label in VERDICT_PRIORITIES:
+        label_expr = (
+            F.when(F.col("priority") == p, F.lit(label))
+            if label_expr is None
+            else label_expr.when(F.col("priority") == p, F.lit(label))
         )
+
+    return (
+        base.unionByName(exact)
+        .unionByName(near)
+        .unionByName(contam)
+        .unionByName(rep)
+        .unionByName(lowq)
+        .groupBy("doc_id")
+        .agg(F.min("priority").alias("priority"))
+        .select("doc_id", label_expr.alias("verdict"))
     )
 
 

@@ -227,7 +227,7 @@ BROADCAST_PAIRS_MAX = 2_000_000
 
 
 def ngram_jaccard(
-    documents: DataFrame, pairs: DataFrame, broadcast_pairs: bool | None = True
+    documents: DataFrame, pairs: DataFrame, broadcast_pairs: bool | None = None
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: |∩| / |∪| (double
     division of exact integers — bit-identical across engines). The
@@ -235,13 +235,17 @@ def ngram_jaccard(
     so the LSH threshold and the verify threshold are commensurate.
 
     The candidate-pair set is max_bucket-capped upstream — small
-    relative to the exploded shingle table — so it broadcasts into the
-    intersection joins (a sort-merge of the shingle table on the pair
-    key would dominate the operator at scale). Pass
-    ``broadcast_pairs=False`` if the candidate set outgrows the
-    broadcast threshold (shuffle hash join on doc id instead), or
-    ``None`` to decide from a measured count (one extra action over a
-    checkpointed pair set — pay it when the size is unknown)."""
+    relative to the exploded shingle table — and broadcasting it into
+    the intersection joins beats a sort-merge of the shingle table on
+    the pair key when it fits. But the cap bounds pairs PER BUCKET
+    while bucket count grows with the corpus, so the capped set is
+    corpus-sized at 100 TB: the default ``broadcast_pairs=None``
+    therefore DECIDES from a measured count (one extra action over a
+    checkpointed pair set, auto-dispatch like
+    ``connected_components_auto``) — broadcast below
+    ``BROADCAST_PAIRS_MAX`` pairs, shuffle hash join on doc id above.
+    Pass ``True``/``False`` to skip the count when the shape is
+    known."""
     if broadcast_pairs is None:
         pairs = pairs.localCheckpoint(eager=True)
         broadcast_pairs = pairs.count() <= BROADCAST_PAIRS_MAX
@@ -249,7 +253,10 @@ def ngram_jaccard(
     sizes = tokset.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = tokset.select(F.col("doc_id").alias("a"), "shingle")
     tb = tokset.select(F.col("doc_id").alias("b"), "shingle")
-    cand = F.broadcast(pairs) if broadcast_pairs else pairs
+    # shuffle path: hash-join hints keep the pair joins off sort-merge
+    # (the shingle side is exploded-corpus-sized — sorting it would
+    # dominate the operator)
+    cand = F.broadcast(pairs) if broadcast_pairs else pairs.hint("shuffle_hash")
     inter = (
         cand.join(ta, "a").join(tb, ["b", "shingle"])
         .groupBy("a", "b")
@@ -258,7 +265,8 @@ def ngram_jaccard(
     return (
         # inter is keyed by candidate pair — same bounded size as the
         # capped pair set, so it broadcasts into the left join too
-        pairs.join(F.broadcast(inter) if broadcast_pairs else inter,
+        pairs.join(F.broadcast(inter) if broadcast_pairs
+                   else inter.hint("shuffle_hash"),
                    ["a", "b"], "left")
         .na.fill({"n_inter": 0})
         .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")

@@ -572,3 +572,81 @@ def test_topk_per_domain_semantics_and_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_corpus_prep_plan_is_priority_union_not_joins(spark):
+    """Scale pin for the verdict stage: resolution must be a priority
+    UNION + min(priority) aggregate (uniform key, map-side combinable),
+    never a join of corpus-keyed flag sets against the corpus scan —
+    the dup/low-quality doc_id sets scale WITH the corpus, so the old
+    five-way broadcast-left-join shape OOMs at web scale."""
+    from ontology_loader_spark.operators.corpus import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}-{i}" for j in range(40))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    from ontology_loader_spark.operators.text import repetition_stats
+
+    df = prepare_training_corpus(docs)
+    df.collect()  # resolve adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the verdict aggregate partial-aggregates before the exchange
+    assert "partial_min(priority" in plan
+    assert "Union" in plan
+    # the VERDICT stage adds no doc_id-keyed broadcast joins of its
+    # own: the only ones in the whole plan are repetition_stats'
+    # internal stat-joins (corpus-sized both sides — AQE broadcasts
+    # them at toy scale only; at scale they are co-partitioned shuffle
+    # joins). Self-calibrating count: corpus_prep may contain exactly
+    # what its inner stage contributes, never the old five-flag chain.
+    rep = repetition_stats(docs)
+    rep.collect()
+    rep_plan = rep._jdf.queryExecution().executedPlan().toString()
+    marker = "BroadcastHashJoin [doc_id"
+    assert plan.count(marker) <= rep_plan.count(marker)
+
+
+def test_ngram_jaccard_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """Corpus-sized candidate sets must take the shuffle-hash path with
+    identical output: pin broadcast=True vs broadcast=False equality,
+    and that the auto default (None) dispatches to the shuffle path
+    when the measured pair count exceeds the broadcast ceiling."""
+    from ontology_loader_spark.operators import dedup as dd
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base.replace("tok0", f"x{i % 3}")) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = dd.minhash_candidate_pairs(docs)
+
+    bcast = sorted(map(tuple, dd.ngram_jaccard(docs, cand, True).collect()))
+    shuf = sorted(map(tuple, dd.ngram_jaccard(docs, cand, False).collect()))
+    assert bcast == shuf and len(bcast) > 0
+
+    # force the auto path into the shuffle branch: ceiling of 0 pairs
+    # emulates a pair set beyond the broadcast threshold
+    monkeypatch.setattr(dd, "BROADCAST_PAIRS_MAX", 0)
+    auto = dd.ngram_jaccard(docs, cand, None)
+    assert sorted(map(tuple, auto.collect())) == bcast
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    # the pair-set joins ran as shuffled hash joins, not broadcasts
+    assert "ShuffledHashJoin [a" in plan
+
+
+def test_duplicate_clusters_shuffle_path_matches(spark, monkeypatch):
+    """duplicate_clusters with the auto default must produce the same
+    clusters whether the verify stage broadcasts or shuffles."""
+    from ontology_loader_spark.operators import dedup as dd
+    from ontology_loader_spark.operators.corpus import duplicate_clusters
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(0, base), (1, base.replace("w0 ", "x0 ")),
+            (2, " ".join(f"z{i}" for i in range(40)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(map(tuple, duplicate_clusters(
+        docs, threshold=0.5, broadcast_pairs=True).collect()))
+    monkeypatch.setattr(dd, "BROADCAST_PAIRS_MAX", 0)
+    got = sorted(map(tuple, duplicate_clusters(
+        docs, threshold=0.5, broadcast_pairs=None).collect()))
+    assert got == want
