@@ -242,11 +242,17 @@ FROM documents"""
 PACK_BUDGET = 256  # tokens per pack (gate-scale; production: ctx length)
 
 
+#: synthetic range-bucket width for auto-grouped packing: one window
+#: partition per AUTO_PACK_SPAN consecutive doc_ids
+AUTO_PACK_SPAN = 65_536
+
+
 def pack_documents(
     documents: DataFrame,
     budget: int = PACK_BUDGET,
     group_col: str | None = None,
     group_span: int | None = None,
+    auto_span: int | None = AUTO_PACK_SPAN,
 ) -> DataFrame:
     """Concatenate-and-chunk packing (LLM-pretraining style): documents
     are laid out in doc_id order, and each doc's pack is the chunk its
@@ -263,8 +269,17 @@ def pack_documents(
     single-partition-safe), so no full-corpus data ever serializes
     through one task, and the result is IDENTICAL to the global form
     (the grouped gate hashes against the same global SQL oracle).
-    Without either parameter the plain global-order window runs — fine
-    below ~10M docs, a single-partition sort above."""
+    Callers that pass neither parameter are AUTO-DISPATCHED onto the
+    grouped machinery with a synthetic ``doc_id div auto_span`` range
+    bucket whenever ``doc_id`` is numeric — the global-order window (a
+    single-partition sort of the corpus) only runs for non-numeric keys
+    or an explicit ``auto_span=None``, and is a trap above ~10M docs."""
+    numeric_id = documents.schema["doc_id"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "decimal",
+    )
+    if group_col is None and group_span is None and auto_span and numeric_id:
+        group_span = auto_span
+
     n_tokens = F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
 
     if group_col is None and group_span is None:

@@ -650,3 +650,26 @@ def test_duplicate_clusters_shuffle_path_matches(spark, monkeypatch):
     got = sorted(map(tuple, duplicate_clusters(
         docs, threshold=0.5, broadcast_pairs=None).collect()))
     assert got == want
+
+
+def test_pack_documents_auto_dispatches_to_grouped(spark):
+    """The ungrouped default must auto-route numeric doc_ids onto the
+    grouped prefix-sum machinery (synthetic range bucket): output equal
+    to the explicit global-order form, big window hash-partitioned on
+    the bucket — the corpus-wide single-partition sort only runs when
+    auto_span is explicitly disabled."""
+    from ontology_loader_spark.operators.corpus import pack_documents
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    auto = pack_documents(docs, budget=100, auto_span=64)  # several buckets
+    forced_global = pack_documents(docs, budget=100, auto_span=None)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, forced_global.collect()))
+
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_grp" in plan
+    glob_plan = forced_global._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_grp" not in glob_plan
