@@ -16,14 +16,29 @@ Scale notes:
 - the rewrite itself is one ``repartition(n)`` pass: a round-robin
   exchange, no keys, no skew — every output file lands within ~1
   input-row-size of the target.
-- the write goes to a temp sibling directory first and is swapped in
-  with two renames, so a crashed compaction never leaves the table
-  half-rewritten (readers see old or new, never a mix) — the
-  same publish discipline as ``sinks/state.py``.
+
+Publish discipline — versioned directory + symlink flip:
+- data is written to a permanent versioned sibling
+  (``<path>.v-<id>``) and the table path is a SYMLINK to the live
+  version. Re-pointing the symlink is one atomic ``rename``, so a
+  concurrent reader always resolves a complete version (old or new,
+  never a mix, never a missing path) and a crash mid-compaction
+  leaves the previous version live and the half-written one as an
+  orphaned sibling.
+- the one exception is the FIRST compaction of a legacy plain
+  directory, which must be migrated to the symlink layout: that flip
+  is two renames (directory away, symlink in) with a sub-millisecond
+  window where the path does not resolve. A recovery note
+  (``<path>.RECOVERY-<id>.json``) naming the live version is written
+  before the window opens and removed after it closes, and the old
+  directory is kept in place until the new symlink is live — a crash
+  anywhere leaves all data on disk plus an explicit pointer to the
+  version that should be published.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -42,25 +57,63 @@ def directory_bytes(path: str) -> int:
     return total
 
 
+def live_version(path: str) -> str | None:
+    """The versioned directory ``path`` currently resolves to, or None
+    for a legacy plain directory (pre-migration layout)."""
+    return os.path.realpath(path) if os.path.islink(path) else None
+
+
+def _publish(path: str, new_version: str) -> None:
+    """Point ``path`` at ``new_version`` atomically (symlink rename).
+
+    Legacy plain directories are migrated to the symlink layout under
+    a recovery note; established symlink layouts flip with ZERO
+    unavailability (one atomic rename over the existing link)."""
+    tmp_link = f"{path}.link-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(new_version), tmp_link)
+    if os.path.islink(path):
+        # atomic replace: readers see the old or the new version
+        os.rename(tmp_link, path)
+        return
+    # legacy layout migration — the only non-atomic publish this sink
+    # ever performs; bracketed by a recovery note and the old directory
+    # stays on disk until the new link is live
+    note = f"{path}.RECOVERY-{uuid.uuid4().hex[:8]}.json"
+    with open(note, "w") as fh:
+        json.dump({"table_path": path, "live_version": new_version,
+                   "action": "rename this version (or a symlink to it) "
+                             "to table_path if the flip crashed"}, fh)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(path, old)
+        os.rename(tmp_link, path)
+    finally:
+        if os.path.exists(path):  # flip landed — safe to clean up
+            shutil.rmtree(old, ignore_errors=True)
+            os.unlink(note)
+
+
 def compact_parquet_dir(
     spark: SparkSession, path: str, target_bytes: int = TARGET_BYTES
 ) -> dict:
     """Rewrite ``path`` to ceil(bytes/target) files; returns a summary
-    dict (files_before, files_after, bytes, rows). Atomic swap via
-    rename — a reader never observes a partial rewrite."""
+    dict (files_before, files_after, bytes, rows). Publishes via the
+    versioned-directory + symlink flip above — a reader never observes
+    a partial rewrite or (past the one-time layout migration) a
+    missing path."""
     before_files = len(list(Path(path).rglob("*.parquet")))
     nbytes = directory_bytes(path)
     n_files = max(1, -(-nbytes // target_bytes))
 
+    prev_version = live_version(path)
     df = spark.read.parquet(path)
     n_rows = df.count()
-    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    new_version = f"{path}.v-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(new_version)
 
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _publish(path, new_version)
+    if prev_version is not None:
+        shutil.rmtree(prev_version, ignore_errors=True)
 
     after_files = len(list(Path(path).rglob("*.parquet")))
     return {
@@ -68,4 +121,5 @@ def compact_parquet_dir(
         "files_after": after_files,
         "bytes": nbytes,
         "rows": n_rows,
+        "version_dir": new_version,
     }

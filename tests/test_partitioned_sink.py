@@ -119,3 +119,37 @@ def test_compact_respects_target_size(spark, tmp_path):
     summary = compact_parquet_dir(spark, path, target_bytes=target)
     # ceil(bytes / target) ≈ 4-5 output files
     assert 3 <= summary["files_after"] <= 6
+
+
+def test_compact_publishes_via_symlink_and_recompaction_is_atomic(
+    spark, tmp_path
+):
+    """First compaction migrates the plain directory to the
+    versioned+symlink layout; subsequent compactions re-point the link
+    (the table path resolves to a complete version at every step) and
+    garbage-collect the previous version. A recovery note never
+    survives a successful publish."""
+    import glob
+    import os
+
+    from ontology_loader_spark.sinks.compact import (
+        compact_parquet_dir,
+        live_version,
+    )
+
+    path = str(tmp_path / "versioned")
+    _docs(spark, 300).repartition(20).write.mode("overwrite").parquet(path)
+    assert live_version(path) is None  # legacy plain layout
+
+    s1 = compact_parquet_dir(spark, path, target_bytes=10**9)
+    v1 = live_version(path)
+    assert os.path.islink(path) and v1 == os.path.abspath(s1["version_dir"])
+    assert spark.read.parquet(path).count() == 300
+
+    s2 = compact_parquet_dir(spark, path, target_bytes=10**9)
+    v2 = live_version(path)
+    assert v2 == os.path.abspath(s2["version_dir"]) and v2 != v1
+    assert not os.path.exists(v1)            # previous version GC'd
+    assert spark.read.parquet(path).count() == 300
+    assert not glob.glob(f"{path}.RECOVERY-*") # notes cleaned up
+    assert not glob.glob(f"{path}.old-*")      # legacy dir cleaned up
