@@ -103,14 +103,27 @@ def delete_obsolete_relations(relation_state: DataFrame, obsolete: DataFrame) ->
     )
 
 
-def _any_field_differs() -> F.Column:
+def _any_field_differs(
+    incoming_cols: list[str], state_cols: list[str]
+) -> F.Column:
     """Q9 change predicate: OR over negated null-safe equality of every
-    introspected OntologyClass field (``mongodb_loader.py:84-86,223``)."""
+    field of the INCOMING frame — runtime introspection, the Spark twin
+    of the reference's ``fields(OntologyClass)``
+    (``mongodb_loader.py:84-86,223``), so a schema evolution (new
+    column in the class schema) participates in the diff with no code
+    edit here. A field the stored state does not carry yet compares
+    against NULL — any incoming non-null value routes the row to
+    ``update``, exactly what a store whose documents predate the field
+    would report."""
     pred = F.lit(False)
-    for field in ONTOLOGY_CLASS_FIELDS:
+    for field in incoming_cols:
         if field == "id":
             continue
-        pred = pred | ~F.col(f"inc.{field}").eqNullSafe(F.col(f"st.{field}"))
+        st_val = (
+            F.col(f"st.{field}") if field in state_cols
+            else F.lit(None)
+        )
+        pred = pred | ~F.col(f"inc.{field}").eqNullSafe(st_val)
     return pred
 
 
@@ -146,7 +159,10 @@ def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataF
     return joined.select(
         *[F.col(f"inc.{c}").alias(c) for c in incoming.columns],
         F.when(F.col("st.id").isNull(), F.lit("insert"))
-        .when(_any_field_differs(), F.lit("update"))
+        .when(
+            _any_field_differs(incoming.columns, class_state.columns),
+            F.lit("update"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("change_kind"),
     )
@@ -155,9 +171,16 @@ def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataF
 def apply_class_upserts(class_state: DataFrame, classified: DataFrame) -> DataFrame:
     """M2 apply: state rows not in incoming stay; incoming inserts and
     updates replace/extend. (Unchanged rows keep the stored doc —
-    identical by definition.)"""
+    identical by definition.) Schema evolution: a column the incoming
+    frame carries but the stored state predates is backfilled as NULL
+    on the kept rows — the document-store semantics of adding a field."""
     incoming_cols = [c for c in classified.columns if c != "change_kind"]
     changed = classified.filter(F.col("change_kind") != "unchanged").select(*incoming_cols)
+    for c in incoming_cols:
+        if c not in class_state.columns:
+            class_state = class_state.withColumn(
+                c, F.lit(None).cast(classified.schema[c].dataType)
+            )
     kept = class_state.join(changed.select("id"), "id", "left_anti").select(*incoming_cols)
     return kept.unionByName(changed)
 

@@ -189,3 +189,58 @@ def test_duplicate_incoming_ids_converge_to_one_doc(spark):
                      res.relation_state)
     assert res2.class_updates_report.count() == 0
     assert res2.class_inserts_report.count() == 0
+
+
+def test_schema_evolution_new_field_flows_through_cdc(spark):
+    """Dynamic-introspection parity with the reference
+    (``mongodb_loader.py:223`` introspects ``fields(OntologyClass)`` at
+    runtime): a NEW column added to the class schema participates in
+    the Q9 diff and the upsert with no code edits beyond the schema
+    itself — the diff iterates the incoming frame's actual columns.
+
+    Three cases: (a) both sides carry the field, value differs ->
+    update; (b) the stored state PREDATES the field entirely — a
+    non-null incoming value diffs against store-side NULL -> update,
+    a null incoming value -> unchanged; (c) apply backfills the evolved
+    column as NULL on kept rows."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ontology_loader_spark.operators.reconcile import (
+        apply_class_upserts,
+        classify_class_changes,
+    )
+    from ontology_loader_spark.schemas import ONTOLOGY_CLASS_SCHEMA
+
+    evolved = StructType(
+        list(ONTOLOGY_CLASS_SCHEMA.fields)
+        + [StructField("semantic_version", StringType())]
+    )
+
+    def mk(id, ver, name="n"):
+        return (*mk_class(id, name=name), ver)
+
+    # (a) both sides evolved — only the new field differs
+    prior = spark.createDataFrame([mk("A:1", "v1"), mk("A:2", "v1")], evolved)
+    incoming = spark.createDataFrame([mk("A:1", "v2"), mk("A:2", "v1")], evolved)
+    kinds = {r["id"]: r["change_kind"]
+             for r in classify_class_changes(incoming, prior).collect()}
+    assert kinds == {"A:1": "update", "A:2": "unchanged"}
+
+    # (b) state predates the field: non-null incoming value -> update,
+    # null -> unchanged
+    legacy = classes_df(spark, [mk_class("A:1"), mk_class("A:2")])
+    incoming2 = spark.createDataFrame(
+        [mk("A:1", "v1"), mk("A:2", None)], evolved
+    )
+    kinds2 = {r["id"]: r["change_kind"]
+              for r in classify_class_changes(incoming2, legacy).collect()}
+    assert kinds2 == {"A:1": "update", "A:2": "unchanged"}
+
+    # (c) apply against the legacy store: kept rows get NULL backfill,
+    # updated rows carry the new value, schema is the evolved one
+    incoming3 = spark.createDataFrame([mk("A:1", "v1")], evolved)
+    classified = classify_class_changes(incoming3, legacy)
+    state = apply_class_upserts(legacy, classified)
+    assert "semantic_version" in state.columns
+    got = {r["id"]: r["semantic_version"] for r in state.collect()}
+    assert got == {"A:1": "v1", "A:2": None}
