@@ -40,6 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
                           "artifact the reference consumes; .gz accepted "
                           "(gunzipped to a temp file, mirroring the "
                           "reference's download_and_prepare_ontology)")
+    src.add_argument("--fetch", action="store_true",
+                     help="download the public semantic-sql artifact for "
+                          "--source-ontology (reference "
+                          "ontology_processor.py:63-92) into the local "
+                          "cache and load it")
+    p.add_argument("--ontology-url",
+                   help="override the artifact URL for --fetch (any "
+                        "urllib-readable URL, incl. file://)")
+    p.add_argument("--cache-dir",
+                   default=os.environ.get("OLS_CACHE_DIR"),
+                   help="artifact cache root for --fetch "
+                        "(default ~/.cache/ontology_loader_spark)")
     p.add_argument("--state-root",
                    default=os.environ.get("OLS_STATE_ROOT", "./ols_state"))
     p.add_argument("--output-directory",
@@ -58,11 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     from ontology_loader_spark.pipeline import run_ontology_load_checkpointed
     from ontology_loader_spark.session import get_spark
 
-    if not (args.obograph_json or args.semsql_db) and not (
+    if not (args.obograph_json or args.semsql_db or args.fetch) and not (
         args.term_dict and args.edges
     ):
         print("error: provide --term-dict + --edges, or --obograph-json, "
-              "or --semsql-db", file=sys.stderr)
+              "or --semsql-db, or --fetch", file=sys.stderr)
         return 2
 
     spark = get_spark("ontology-loader-spark-cli", master=args.master)
@@ -73,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
 
             src_id = args.obograph_json
             term_dict, edges = read_obograph_json(spark, args.obograph_json)
+        elif args.fetch:
+            from ontology_loader_spark.inputs.fetch import fetch_ontology
+            from ontology_loader_spark.inputs.ingest import read_semsql_sqlite
+
+            db_path = fetch_ontology(
+                args.source_ontology,
+                url=args.ontology_url,
+                cache_dir=args.cache_dir,
+            )
+            src_id = db_path
+            term_dict, edges = read_semsql_sqlite(spark, db_path)
         elif args.semsql_db:
             from ontology_loader_spark.inputs.ingest import read_semsql_sqlite
 

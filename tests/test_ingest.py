@@ -253,3 +253,116 @@ def test_obograph_multiple_graphs(spark, tmp_path):
     assert {r["id"] for r in td.collect()} == {"ENVO:10", "ENVO:1"}
     assert [(r["subject"], r["predicate"], r["object"])
             for r in ed.collect()] == [("ENVO:10", "rdfs:subClassOf", "ENVO:1")]
+
+
+def test_fetch_ontology_cache_and_injectable_transport(tmp_path):
+    """fetch_ontology: downloads via the injectable opener, gunzips,
+    caches both artifacts (second call = zero transport calls), force
+    redownloads, and a crashed download never leaves a trusted file."""
+    import gzip
+
+    from ontology_loader_spark.inputs.fetch import fetch_ontology, ontology_url
+
+    assert ontology_url("ENVO") == (
+        "https://s3.amazonaws.com/bbop-sqlite/envo.db.gz"
+    )
+
+    payload = b"sqlite-bytes-stand-in"
+    gz_src = tmp_path / "envo.db.gz"
+    with gzip.open(gz_src, "wb") as fh:
+        fh.write(payload)
+
+    calls = []
+
+    def opener(url):
+        calls.append(url)
+        return open(gz_src, "rb")
+
+    cache = str(tmp_path / "cache")
+    db = fetch_ontology("envo", url="http://example.invalid/envo.db.gz",
+                        cache_dir=cache, opener=opener)
+    assert open(db, "rb").read() == payload
+    assert calls == ["http://example.invalid/envo.db.gz"]
+
+    # cached: no transport on the second call, same path back
+    assert fetch_ontology("envo", url="http://example.invalid/envo.db.gz",
+                          cache_dir=cache, opener=opener) == db
+    assert len(calls) == 1
+
+    # force: transport again
+    fetch_ontology("envo", url="http://example.invalid/envo.db.gz",
+                   cache_dir=cache, opener=opener, force=True)
+    assert len(calls) == 2
+
+    # crash mid-download: only a .part temp exists afterwards, and the
+    # next fetch retries the transport instead of trusting it
+    class Boom(Exception):
+        pass
+
+    def crashing(url):
+        calls.append(url)
+        raise Boom()
+
+    import pytest as _pytest
+
+    cache2 = str(tmp_path / "cache2")
+    with _pytest.raises(Boom):
+        fetch_ontology("envo", url="http://example.invalid/envo.db.gz",
+                       cache_dir=cache2, opener=crashing)
+    import glob
+
+    assert not glob.glob(f"{cache2}/envo/envo.db*") or all(
+        p.endswith(".part") for p in glob.glob(f"{cache2}/envo/envo.db*")
+    )
+    db2 = fetch_ontology("envo", url="http://example.invalid/envo.db.gz",
+                         cache_dir=cache2, opener=opener)
+    assert open(db2, "rb").read() == payload
+
+
+def test_fetch_ontology_default_opener_file_url(tmp_path):
+    """The default urllib opener handles file:// URLs — the offline
+    twin of the reference's HTTPS download."""
+    import gzip
+
+    from ontology_loader_spark.inputs.fetch import fetch_ontology
+
+    gz_src = tmp_path / "envo.db.gz"
+    with gzip.open(gz_src, "wb") as fh:
+        fh.write(b"payload-via-file-url")
+    db = fetch_ontology("envo", url=f"file://{gz_src}",
+                        cache_dir=str(tmp_path / "cache"))
+    assert open(db, "rb").read() == b"payload-via-file-url"
+
+
+def test_cli_fetch_end_to_end_with_file_url(tmp_path):
+    """--fetch resolves, downloads (file:// fixture URL), gunzips,
+    caches, loads, reconciles, reports — the reference's
+    name-to-triples journey with no pre-downloaded artifact."""
+    import gzip
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    db = tmp_path / "envo.db"
+    _write_semsql(db)
+    gz = tmp_path / "envo.db.gz"
+    with open(db, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "-m", "ontology_loader_spark.cli",
+         "--source-ontology", "envo",
+         "--fetch",
+         "--ontology-url", f"file://{gz}",
+         "--cache-dir", str(tmp_path / "cache"),
+         "--state-root", str(tmp_path / "state"),
+         "--output-directory", str(tmp_path / "reports"),
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd=str(repo), timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "classes=6" in out.stdout
+    assert (tmp_path / "cache" / "envo" / "envo.db").exists()
+    assert (tmp_path / "reports" / "ontology_inserts.tsv").exists()
