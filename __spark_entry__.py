@@ -125,6 +125,34 @@ def q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_closure_update(old, new, prior, rel, ONT)
 
 
+def q_incremental_closure_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-maintenance gate: mark a 1/16 md5 slice of the edges
+    deleted, compute the prior closure on the FULL set, then delete-
+    cone invalidate + re-derive — the result must hash-match a fresh
+    closure over the remaining edges (oracle recomputes from scratch;
+    DELETE_RESIDUE shared with the SQL)."""
+    from ontology_loader_spark.operators.closure import (
+        incremental_closure_delete,
+    )
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    is_deleted = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat_ws("|", "subject", "predicate", "object")), 1, 1
+            ),
+        )
+        - 1
+        == oracle.DELETE_RESIDUE
+    )
+    deleted = ed.filter(is_deleted)
+    rel = relevant_entities(td, ONT).localCheckpoint(eager=True)
+    prior = ancestor_closure(ed, rel, ONT).localCheckpoint(eager=True)
+    return incremental_closure_delete(ed, deleted, prior, rel, ONT)
+
+
 def _relations_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = derive.derive_term_dict(spark, sf_dir)
     ed = derive.derive_edges(spark, sf_dir)
@@ -724,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back (every entry stays covered by the identical local harness,
     # scripts/check_queries_vs_oracle.py, either way).
     return {
+        "incremental_closure_delete": q_incremental_closure_delete,
         "token_stats": q_token_stats,
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
@@ -813,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "ancestor_closure": oracle.q_ancestor_closure(),
         "relation_set": oracle.q_relation_set(),
         "incremental_closure": oracle.q_ancestor_closure(),
+        "incremental_closure_delete": oracle.q_ancestor_closure_after_delete(),
         "ancestor_histogram": oracle.q_ancestor_histogram(),
         "pagerank": _graph.pagerank_sql(),
         "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(

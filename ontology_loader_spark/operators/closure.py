@@ -248,33 +248,10 @@ def incremental_closure_update(
         F.col("subject").alias("s"), F.col("object").alias("o")
     )
 
-    # reverse BFS: revreach(u, a) ⇔ u →* a over raw edges, seeded
-    # reflexively at each new edge's subject a
-    revreach = new_h.select(
-        F.col("subject").alias("u"), F.col("subject").alias("a")
-    ).distinct().localCheckpoint(eager=True)
-    rfrontier = revreach
-    for _ in range(max_iterations):
-        stepped = (
-            rfrontier.join(
-                hedges_side,
-                rfrontier["u"] == all_hedges["object"],
-            )
-            .select(all_hedges["subject"].alias("u"), rfrontier["a"])
-            .distinct()
-        )
-        new_rev = stepped.join(revreach, ["u", "a"], "left_anti").localCheckpoint(
-            eager=True
-        )
-        if new_rev.isEmpty():
-            break
-        revreach = revreach.unionByName(new_rev).localCheckpoint(eager=True)
-        rfrontier = new_rev
-    else:
-        raise RuntimeError(
-            f"incremental_closure_update reverse pass did not converge in "
-            f"{max_iterations}"
-        )
+    revreach = _reverse_reach(
+        all_hedges, hedges_side, new_h.select("subject"), max_iterations,
+        "incremental_closure_update",
+    )
 
     # seed: (u ∈ closure domain) →* a, new edge a → b  ⇒  frontier (u, b)
     frontier = (
@@ -324,6 +301,128 @@ def incremental_closure_update(
         )
     )
     return prior_closure.unionByName(emitted).distinct()
+
+
+def _reverse_reach(
+    all_hedges: DataFrame,
+    hedges_side,
+    seeds: DataFrame,
+    max_iterations: int,
+    op_name: str,
+) -> DataFrame:
+    """Reverse BFS over the hierarchy edge set: revreach(u, a) ⇔
+    u →* a over ``all_hedges``, seeded reflexively at each row of
+    ``seeds`` (one column ``subject``). The pair count iterated is
+    proportional to the seeds' ancestor cone, never the full closure —
+    the property both incremental-maintenance directions rely on.
+    ``hedges_side`` is ``all_hedges`` possibly wrapped in a broadcast
+    hint (decided once by the caller for every iteration)."""
+    revreach = seeds.select(
+        F.col("subject").alias("u"), F.col("subject").alias("a")
+    ).distinct().localCheckpoint(eager=True)
+    rfrontier = revreach
+    for _ in range(max_iterations):
+        stepped = (
+            rfrontier.join(
+                hedges_side,
+                rfrontier["u"] == all_hedges["object"],
+            )
+            .select(all_hedges["subject"].alias("u"), rfrontier["a"])
+            .distinct()
+        )
+        new_rev = stepped.join(revreach, ["u", "a"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new_rev.isEmpty():
+            break
+        revreach = revreach.unionByName(new_rev).localCheckpoint(eager=True)
+        rfrontier = new_rev
+    else:
+        raise RuntimeError(
+            f"{op_name} reverse pass did not converge in {max_iterations}"
+        )
+    return revreach
+
+
+def incremental_closure_delete(
+    edges: DataFrame,
+    deleted_edges: DataFrame,
+    prior_closure: DataFrame,
+    relevant: DataFrame,
+    ontology: str,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+    max_iterations: int = 64,
+    broadcast_edges_max: int = 5_000_000,
+) -> DataFrame:
+    """Maintain the closure under edge DELETIONS — the other half of
+    ontology-release maintenance (a release retracts assertions as
+    well as adding them; the reference recomputes from scratch, this
+    keeps the untouched cone).
+
+    Delete-cone invalidation + re-derive (the DRed shape specialized
+    to reachability): a pair (s, o) can only LOSE a derivation if some
+    path from ``s`` used a deleted edge, which requires ``s →* a`` over
+    the OLD edge set for a deleted edge's subject ``a``. So:
+
+    1. reverse BFS over the OLD hierarchy edges from the deleted
+       edges' subjects — cost proportional to the delete cone;
+    2. ``affected`` = those sources ∩ closure domain; every stored row
+       of an affected subject is invalidated (over-delete);
+    3. re-derive: a fresh frontier closure seeded ONLY at the affected
+       subjects over the remaining edge set (cost again the cone, not
+       the corpus of subjects);
+    4. untouched subjects' rows carry over verbatim.
+
+    The union is disjoint by subject, so no distinct is needed.
+    ``prior_closure`` must be the closure of ``edges``; returns the
+    closure of ``edges − deleted_edges``, equal to a fresh
+    :func:`ancestor_closure` run (randomized-delta test + gate)."""
+    old_h = (
+        select_hierarchy_edges(edges, predicates)
+        .select("subject", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if old_h.count() <= broadcast_edges_max:
+        hedges_side = F.broadcast(old_h)
+    else:
+        hedges_side = old_h
+    del_h = (
+        select_hierarchy_edges(deleted_edges, predicates)
+        .select("subject", "object")
+        .distinct()
+    )
+
+    revreach = _reverse_reach(
+        old_h, hedges_side, del_h.select("subject"), max_iterations,
+        "incremental_closure_delete",
+    )
+    affected = (
+        revreach.select(F.col("u").alias("id"))
+        .distinct()
+        .join(F.broadcast(relevant), "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    kept = prior_closure.join(
+        F.broadcast(affected.withColumnRenamed("id", "subject")),
+        "subject",
+        "left_anti",
+    )
+    # remove by full (s, p, o): a same-(s, o) edge under a predicate
+    # not being deleted must keep its hierarchy pair alive
+    remaining = edges.join(
+        F.broadcast(
+            deleted_edges.select("subject", "predicate", "object").distinct()
+        ),
+        ["subject", "predicate", "object"],
+        "left_anti",
+    )
+    rederived = ancestor_closure(
+        remaining, affected, ontology, predicates, max_iterations,
+        strategy="frontier",
+    )
+    return kept.select(*prior_closure.columns).unionByName(rederived)
 
 
 def _closure_doubling(

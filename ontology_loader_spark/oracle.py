@@ -162,6 +162,32 @@ def q_ancestor_closure() -> str:
     )
 
 
+#: gate split for the deletion-maintenance gate: edges whose md5 first
+#: hex digit equals this residue (1/16 of the edge set) are "deleted"
+DELETE_RESIDUE = 3
+
+DELETED_EDGE_COND = (
+    "(instr('0123456789abcdef', substr(md5(subject || '|' || predicate "
+    f"|| '|' || object), 1, 1)) - 1) = {DELETE_RESIDUE}"
+)
+
+
+def q_ancestor_closure_after_delete() -> str:
+    """Closure of the edge set MINUS the md5-residue 'deleted' slice —
+    the fresh-recompute oracle the incremental deletion maintenance
+    must hash-match."""
+    hedges_after = f"""
+hedges AS (
+  SELECT DISTINCT subject, object FROM edges
+  WHERE predicate IN {PREDICATES_SQL} AND NOT ({DELETED_EDGE_COND})
+)"""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, hedges_after, REACH_CTE,
+        CLOSURE_REL_CTE,
+        body="SELECT subject, predicate, object, type FROM closure_rel",
+    )
+
+
 def q_relation_set() -> str:
     return _with(
         *KG_BASE_CTES, DIRECT_REL_CTE, CLOSURE_REL_CTE, ALL_REL_CTE, DISTINCT_REL_CTE,
