@@ -1,10 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The image/audio codec libraries are not in this container, so the
-decode kernel is a STUB — ``decode_image_stub`` derives deterministic
-fake dimensions from the payload bytes (clearly marked; swap for a real
-PIL/ffmpeg kernel in production). Everything around it — the binary
+Kernel dispatch (``resolve_decode_kernel``): an injected kernel wins,
+else a PIL-backed real decoder when the optional dependency imports
+(resolved lazily inside the executor Python worker), else the
+deterministic STUB — ``decode_image_stub`` derives fake dimensions
+from the payload bytes, statused ``stub_decoded`` so downstream can
+tell. The real kernel falls back to the stub per payload on decode
+failure, so one corrupt blob never kills an Arrow batch. (This
+container ships no codec libs, so the stub path is what the gates
+exercise; the dispatch itself is test-pinned with a fake PIL.)
+Everything around the kernel — the binary
 column schema, the Arrow batch shape (bytes arrive as ``bytes`` objects
 per row inside a pandas batch), the partition-parallel UDF signature,
 and the metadata projection — is the real 100 TB plumbing: payloads
@@ -47,37 +53,71 @@ def with_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode kernel. Production replaces this with a real decoder
-    (PIL.Image.open / soundfile / pyav frame sampling). Deterministic
-    fake dims derived from the first two payload bytes."""
+def decode_image_stub(payload: bytes) -> tuple[int, int, str]:
+    """STUB decode kernel. Production uses the PIL-backed kernel below
+    when the library is present; this deterministic fallback derives
+    fake dims from the first two payload bytes (clearly statused)."""
     width = 1 + (payload[0] % 64)
     height = 1 + (payload[1] % 64)
-    return width, height
+    return width, height, "stub_decoded"
 
 
-def decode_payloads(documents_with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched decode: (doc_id, payload binary) → typed metadata.
+def _pil_kernel():
+    """A real decode kernel backed by PIL, or None when the optional
+    dependency is absent. Resolved lazily INSIDE the executor's Python
+    worker (not at driver closure-capture time), so a heterogeneous
+    cluster degrades per-executor instead of failing the job."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> tuple[int, int, str]:
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, "decoded"
+        except Exception:
+            # not a decodable image — fall through to the stub so one
+            # corrupt payload never kills an Arrow batch
+            return decode_image_stub(payload)
+
+    return decode
+
+
+def resolve_decode_kernel(kernel=None):
+    """Kernel dispatch: an explicitly-injected kernel wins (tests /
+    custom codecs), else PIL if importable, else the stub."""
+    return kernel or _pil_kernel() or decode_image_stub
+
+
+def decode_payloads(documents_with_payload: DataFrame, kernel=None) -> DataFrame:
+    """Arrow-batched decode: (doc_id, payload binary) → typed metadata
+    (n_bytes, width, height, status — status records which kernel
+    decoded the row).
 
     Batches iterate columnar; the kernel touches bytes only inside the
-    executor Python worker."""
+    executor Python worker, and kernel resolution happens there too."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = resolve_decode_kernel(kernel)
         for pdf in batches:
-            n_bytes, widths, heights = [], [], []
+            n_bytes, widths, heights, statuses = [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                w, h = decode_image_stub(raw)
+                w, h, status = k(raw)
                 n_bytes.append(len(raw))
                 widths.append(w)
                 heights.append(h)
+                statuses.append(status)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": pd.Series(n_bytes, dtype="int32"),
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
-                    "status": "stub_decoded",
+                    "status": pd.Series(statuses, dtype="object"),
                 }
             )
 
