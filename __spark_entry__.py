@@ -433,6 +433,15 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_corpus(_docs(spark, sf_dir))
 
 
+def q_corpus_prep_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep with the asymmetric-containment rule enabled: the
+    smaller side of a quote/wrapper containment pair is dropped as
+    'contained' between the near-dup and contamination rules."""
+    from ontology_loader_spark.operators.corpus import prepare_training_corpus
+
+    return prepare_training_corpus(_docs(spark, sf_dir), include_containment=True)
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.corpus import pack_documents
 
@@ -753,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_queries_vs_oracle.py, either way).
     return {
         "incremental_closure_delete": q_incremental_closure_delete,
+        "corpus_prep_containment": q_corpus_prep_containment,
         "token_stats": q_token_stats,
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
@@ -914,5 +924,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": _corpus.pack_documents_sql(),
         "doc_packing_grouped": _corpus.pack_documents_sql(),
         "corpus_prep": _corpus.prepare_training_corpus_sql(),
+        "corpus_prep_containment": _corpus.prepare_training_corpus_sql(
+            include_containment=True
+        ),
         "full_load": oracle.q_relation_set(),
     }

@@ -417,19 +417,10 @@ MAX_TOP_TOKEN = 0.2     # most frequent token's share ceiling
 REP_MIN_SHINGLES = MIN_TOKENS - 2
 
 
-#: verdict priority order — first matching rule wins = MIN priority
-VERDICT_PRIORITIES = (
-    (1, "exact_dup"),
-    (2, "near_dup"),
-    (3, "contaminated"),
-    (4, "repetitive"),
-    (5, "low_quality"),
-    (6, "kept"),
-)
-
-
 def prepare_training_corpus(
-    documents: DataFrame, broadcast_pairs: bool | None = None
+    documents: DataFrame,
+    broadcast_pairs: bool | None = None,
+    include_containment: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus gate: one verdict per document, first
     matching rule wins —
@@ -437,98 +428,147 @@ def prepare_training_corpus(
     1. ``exact_dup``     — not the canonical copy of its content digest
     2. ``near_dup``      — not the canonical member of its LSH/jaccard
                            duplicate cluster
-    3. ``contaminated``  — shares ≥K winnowing fingerprints with a
+    3. ``contained``     — (``include_containment=True`` only) the
+                           smaller side of an asymmetric containment
+                           pair: a quote/wrapper copy symmetric
+                           jaccard misses
+    4. ``contaminated``  — shares ≥K winnowing fingerprints with a
                            benchmark doc
-    4. ``repetitive``    — Gopher-style repetition rule: duplicate
+    5. ``repetitive``    — Gopher-style repetition rule: duplicate
                            3-gram fraction or top-token share over the
                            ceiling
-    5. ``low_quality``   — under the token floor or over the stopword
+    6. ``low_quality``   — under the token floor or over the stopword
                            ceiling
-    6. ``kept``
+    7. ``kept``
 
     Composition of the individually-gate-verified operators. Verdict
     resolution is a PRIORITY UNION, not a join: every stage emits
-    (doc_id, priority), the corpus base contributes priority 6
-    ("kept"), and the verdict is ``groupBy(doc_id).min(priority)`` —
-    one map-side-combinable aggregate on a uniform key. No flag set is
-    ever broadcast or joined against the corpus scan, which matters
-    because the dup/low-quality doc_id sets scale WITH the corpus (a
-    large fraction of a web crawl is duplicates) — a broadcast of
-    those sides would be a driver/executor OOM at 100 TB.
+    (doc_id, priority), the corpus base contributes the lowest
+    priority ("kept"), and the verdict is
+    ``groupBy(doc_id).min(priority)`` — one map-side-combinable
+    aggregate on a uniform key. No flag set is ever broadcast or
+    joined against the corpus scan, which matters because the
+    dup/low-quality doc_id sets scale WITH the corpus (a large
+    fraction of a web crawl is duplicates) — a broadcast of those
+    sides would be a driver/executor OOM at 100 TB.
 
-    ``broadcast_pairs=None`` (default) lets :func:`ngram_jaccard`
-    decide from a measured candidate-pair count whether the LSH
-    verify stage may broadcast its pair set."""
-    from ontology_loader_spark.operators.dedup import exact_duplicates
+    ``broadcast_pairs=None`` (default) lets :func:`ngram_jaccard` /
+    :func:`containment_dedup` decide from a measured candidate-pair
+    count whether the verify stages may broadcast their pair sets."""
+    from ontology_loader_spark.operators.dedup import (
+        containment_dedup,
+        exact_duplicates,
+    )
     from ontology_loader_spark.operators.text import (
         benchmark_contamination,
         repetition_stats,
         text_quality,
     )
 
-    def tagged(df: DataFrame, priority: int) -> DataFrame:
-        return df.select("doc_id", F.lit(priority).alias("priority"))
-
-    exact = tagged(
-        exact_duplicates(documents).filter(
-            F.col("canonical_id") != F.col("doc_id")
+    stages: list[tuple[str, DataFrame]] = [
+        (
+            "exact_dup",
+            exact_duplicates(documents)
+            .filter(F.col("canonical_id") != F.col("doc_id"))
+            .select("doc_id"),
         ),
-        1,
-    )
-    near = tagged(
-        duplicate_clusters(documents, broadcast_pairs=broadcast_pairs).filter(
-            F.col("canonical_id") != F.col("doc_id")
+        (
+            "near_dup",
+            duplicate_clusters(documents, broadcast_pairs=broadcast_pairs)
+            .filter(F.col("canonical_id") != F.col("doc_id"))
+            .select("doc_id"),
         ),
-        2,
-    )
-    contam = tagged(benchmark_contamination(documents).distinct(), 3)
-    rep = tagged(
-        repetition_stats(documents).filter(
-            (F.col("n_shingles") >= REP_MIN_SHINGLES)
-            & (
-                (F.col("shingle_rep_ratio") > MAX_SHINGLE_REP)
-                | (F.col("top_token_ratio") > MAX_TOP_TOKEN)
+    ]
+    if include_containment:
+        stages.append(
+            (
+                "contained",
+                containment_dedup(documents, broadcast_pairs=broadcast_pairs)
+                .select(F.col("contained").alias("doc_id"))
+                .distinct(),
             )
+        )
+    stages += [
+        ("contaminated", benchmark_contamination(documents)
+         .select("doc_id").distinct()),
+        (
+            "repetitive",
+            repetition_stats(documents)
+            .filter(
+                (F.col("n_shingles") >= REP_MIN_SHINGLES)
+                & (
+                    (F.col("shingle_rep_ratio") > MAX_SHINGLE_REP)
+                    | (F.col("top_token_ratio") > MAX_TOP_TOKEN)
+                )
+            )
+            .select("doc_id"),
         ),
-        4,
-    )
-    lowq = tagged(
-        text_quality(documents).filter(
-            (F.col("n_tokens") < MIN_TOKENS)
-            | (F.col("stopword_ratio") > MAX_STOPWORD_RATIO)
+        (
+            "low_quality",
+            text_quality(documents)
+            .filter(
+                (F.col("n_tokens") < MIN_TOKENS)
+                | (F.col("stopword_ratio") > MAX_STOPWORD_RATIO)
+            )
+            .select("doc_id"),
         ),
-        5,
+    ]
+
+    labels = [label for label, _ in stages] + ["kept"]
+    kept_priority = len(labels)
+
+    acc = documents.select(
+        "doc_id", F.lit(kept_priority).alias("priority")
     )
-    base = tagged(documents, 6)
+    for priority, (_, df) in enumerate(stages, start=1):
+        acc = acc.unionByName(
+            df.select("doc_id", F.lit(priority).alias("priority"))
+        )
 
     label_expr = None
-    for p, label in VERDICT_PRIORITIES:
+    for priority, label in enumerate(labels, start=1):
         label_expr = (
-            F.when(F.col("priority") == p, F.lit(label))
+            F.when(F.col("priority") == priority, F.lit(label))
             if label_expr is None
-            else label_expr.when(F.col("priority") == p, F.lit(label))
+            else label_expr.when(F.col("priority") == priority, F.lit(label))
         )
 
     return (
-        base.unionByName(exact)
-        .unionByName(near)
-        .unionByName(contam)
-        .unionByName(rep)
-        .unionByName(lowq)
-        .groupBy("doc_id")
+        acc.groupBy("doc_id")
         .agg(F.min("priority").alias("priority"))
         .select("doc_id", label_expr.alias("verdict"))
     )
 
 
-def prepare_training_corpus_sql() -> str:
-    from ontology_loader_spark.operators.dedup import EXACT_DUP_SQL
+def prepare_training_corpus_sql(include_containment: bool = False) -> str:
+    from ontology_loader_spark.operators.dedup import (
+        EXACT_DUP_SQL,
+        containment_dedup_sql,
+    )
     from ontology_loader_spark.operators.text import (
         benchmark_contamination_sql,
         repetition_stats_sql,
         text_quality_sql,
     )
 
+    contained_cte = (
+        f""",
+contained AS (
+  SELECT DISTINCT contained AS doc_id FROM ({containment_dedup_sql()})
+)"""
+        if include_containment
+        else ""
+    )
+    contained_when = (
+        "WHEN x.doc_id IS NOT NULL THEN 'contained'\n       "
+        if include_containment
+        else ""
+    )
+    contained_join = (
+        "LEFT JOIN contained x ON x.doc_id = d.doc_id\n"
+        if include_containment
+        else ""
+    )
     return f"""
 WITH exact AS (
   SELECT doc_id FROM ({EXACT_DUP_SQL}) WHERE canonical_id <> doc_id
@@ -548,11 +588,11 @@ rep AS (
 lowq AS (
   SELECT doc_id FROM ({text_quality_sql()})
   WHERE n_tokens < {MIN_TOKENS} OR stopword_ratio > {MAX_STOPWORD_RATIO}
-)
+){contained_cte}
 SELECT d.doc_id,
   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
-       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       {contained_when}WHEN c.doc_id IS NOT NULL THEN 'contaminated'
        WHEN r.doc_id IS NOT NULL THEN 'repetitive'
        WHEN q.doc_id IS NOT NULL THEN 'low_quality'
        ELSE 'kept' END AS verdict
@@ -561,7 +601,8 @@ LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
 LEFT JOIN contam c ON c.doc_id = d.doc_id
 LEFT JOIN rep r ON r.doc_id = d.doc_id
-LEFT JOIN lowq q ON q.doc_id = d.doc_id"""
+LEFT JOIN lowq q ON q.doc_id = d.doc_id
+{contained_join}"""
 
 
 # ----------------------------------------------- domain mixture weights

@@ -529,7 +529,7 @@ def containment_dedup(
     documents: DataFrame,
     pairs: DataFrame | None = None,
     threshold: float = CONTAINMENT_THRESHOLD,
-    broadcast_pairs: bool | None = True,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection: containment of the SMALLER
     shingle set in the larger, C = |S_a ∩ S_b| / min(|S_a|, |S_b|) —

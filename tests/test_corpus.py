@@ -673,3 +673,28 @@ def test_pack_documents_auto_dispatches_to_grouped(spark):
     assert "hashpartitioning(_grp" in plan
     glob_plan = forced_global._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_grp" not in glob_plan
+
+
+def test_corpus_prep_containment_rule(spark):
+    """include_containment=True drops the smaller side of a
+    quote/wrapper pair as 'contained' — a case symmetric jaccard
+    misses (the pair's jaccard is far below the near-dup threshold);
+    the default chain keeps both docs and stays unchanged."""
+    from ontology_loader_spark.operators.corpus import prepare_training_corpus
+
+    quoted = " ".join(f"c{i}" for i in range(40))
+    container = quoted + " " + " ".join(f"e{i}" for i in range(300))
+    bystander = " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, container), (3, bystander)],
+        "doc_id long, text string",
+    )
+
+    plain = {r["doc_id"]: r["verdict"]
+             for r in prepare_training_corpus(docs).collect()}
+    assert plain == {1: "kept", 2: "kept", 3: "kept"}
+
+    with_cont = {r["doc_id"]: r["verdict"]
+                 for r in prepare_training_corpus(
+                     docs, include_containment=True).collect()}
+    assert with_cont == {1: "contained", 2: "kept", 3: "kept"}
