@@ -272,6 +272,19 @@ def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redirect_map(td).select("src", "dst")
 
 
+def q_mention_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure-grounded mention triples: transcripts -> top-1 links ->
+    is_a/part_of ancestor expansion (ontology-bounded closure
+    broadcasts into the corpus-side probe)."""
+    from ontology_loader_spark.pipeline import mention_ancestor_triples
+
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    td = derive.derive_term_dict(spark, sf_dir)
+    return mention_ancestor_triples(spark, tr, md, ed, td, ONT)
+
+
 def q_transcript_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = derive.derive_transcripts(spark, sf_dir)
     return with_turn_order(tr).select("conv_id", "turn_idx", "rn", "text")
@@ -763,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incremental_closure_delete": q_incremental_closure_delete,
         "corpus_prep_containment": q_corpus_prep_containment,
+        "mention_ancestors": q_mention_ancestors,
         "token_stats": q_token_stats,
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
@@ -853,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_set": oracle.q_relation_set(),
         "incremental_closure": oracle.q_ancestor_closure(),
         "incremental_closure_delete": oracle.q_ancestor_closure_after_delete(),
+        "mention_ancestors": oracle.q_mention_ancestors(),
         "ancestor_histogram": oracle.q_ancestor_histogram(),
         "pagerank": _graph.pagerank_sql(),
         "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(

@@ -346,6 +346,28 @@ SELECT conv_id, turn_idx, term_id, surface FROM (
     )
 
 
+def q_mention_ancestors() -> str:
+    """Closure-grounded mention triples: the top-1 link per turn joined
+    through the reflexive transitive closure (same reach CTE as the
+    ancestor gate; F1 filters the emitted ancestor)."""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        RELEVANT_CTE, HEDGES_CTE, REACH_CTE,
+        body=f"""
+SELECT l.conv_id, l.turn_idx, l.term_id, r.o AS ancestor
+FROM (
+  SELECT conv_id, turn_idx, term_id FROM (
+    SELECT t.conv_id, t.turn_idx, d.id AS term_id,
+           ROW_NUMBER() OVER (PARTITION BY t.conv_id, t.turn_idx
+                              ORDER BY length(d.name) DESC, d.id) AS rnk
+    FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+  ) WHERE rnk = 1
+) l
+JOIN reach r ON r.s = l.term_id
+WHERE {F1_O}""",
+    )
+
+
 def q_redirect_map() -> str:
     """Alt-id / obsolete-term redirect map: follow replaced_by chains
     from each obsolete term to a live target (chains here are length 1

@@ -226,3 +226,48 @@ def transcript_assertions(
         )
         .distinct()
     )
+
+
+def mention_ancestor_triples(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    edges: DataFrame,
+    term_dict: DataFrame,
+    ontology: str,
+) -> DataFrame:
+    """The KG-materialization step that grounds the ontology closure in
+    the transcripts (north star: 'transitive-closure expansion of is_a
+    edges to emit (subj, pred, obj) triples' applied to linked
+    mentions): each top-1 linked mention expands into one row per
+    is_a/part_of ancestor of its term. Output
+    (conv_id, turn_idx, term_id, ancestor) — the per-turn entailed
+    entity set retrieval/aggregation layers consume.
+
+    Scale shape: the links side is corpus-sized (one row per linked
+    turn); the closure side is ontology-bounded (|terms| × depth — a
+    dictionary-scale pair set even for million-term ontologies), so it
+    BROADCASTS into the probe over the links scan: the corpus never
+    shuffles for this join, and the fan-out (× ancestor count)
+    happens partition-parallel on the probe side."""
+    from ontology_loader_spark.operators.closure import (
+        ancestor_closure,
+        relevant_entities,
+    )
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions,
+        top1_links,
+    )
+
+    links = top1_links(detect_mentions(spark, transcripts, mention_dict))
+    rel = relevant_entities(term_dict, ontology)
+    closure = ancestor_closure(edges, rel, ontology)
+    return links.join(
+        F.broadcast(
+            closure.select(
+                F.col("subject").alias("term_id"),
+                F.col("object").alias("ancestor"),
+            )
+        ),
+        "term_id",
+    ).select("conv_id", "turn_idx", "term_id", "ancestor")

@@ -203,3 +203,61 @@ def test_union_find_auto_dispatch_parity(spark):
                connected_components_dict_bounded(nodes, empty)):
         assert {r["node"]: r["component"] for r in df.collect()} == {
             i: i for i in (1, 2, 3, 7, 9, 42)}
+
+
+def test_mention_ancestor_triples_expand_through_closure(spark):
+    """Each linked mention expands into one row per closure ancestor of
+    its term (reflexive included); unlinked turns contribute nothing;
+    foreign ancestors stay filtered (Q2)."""
+    import datetime
+
+    from ontology_loader_spark.pipeline import mention_ancestor_triples
+    from ontology_loader_spark.schemas import (
+        EDGE_SCHEMA,
+        TERM_DICT_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+    )
+
+    base = datetime.datetime(2026, 6, 1)
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "we saw an oak today", None, base),
+            ("c1", 1, "agent", "nothing relevant here", None, base),
+            ("c2", 0, "user", "oak and maple", None, base),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    md = spark.createDataFrame(
+        [("P:oak", "oak"), ("P:maple", "maple")], "id string, name string"
+    )
+    td = spark.createDataFrame(
+        [(f"P:{n}", n, "", [], False, None)
+         for n in ("oak", "maple", "tree", "plant")],
+        TERM_DICT_SCHEMA,
+    )
+    ed = spark.createDataFrame(
+        [
+            ("P:oak", "rdfs:subClassOf", "P:tree"),
+            ("P:maple", "rdfs:subClassOf", "P:tree"),
+            ("P:tree", "rdfs:subClassOf", "P:plant"),
+            ("P:tree", "rdfs:subClassOf", "Q:foreign"),
+        ],
+        EDGE_SCHEMA,
+    )
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["term_id"], r["ancestor"])
+        for r in mention_ancestor_triples(spark, tr, md, ed, td, "p").collect()
+    }
+    # c1/0 links "oak" (top-1): reflexive + tree + plant, no Q:foreign
+    assert {(c, t, m, a) for (c, t, m, a) in got if c == "c1"} == {
+        ("c1", 0, "P:oak", "P:oak"),
+        ("c1", 0, "P:oak", "P:tree"),
+        ("c1", 0, "P:oak", "P:plant"),
+    }
+    # c2/0 top-1 is the longest surface ("maple" > "oak")
+    assert {(c, t, m, a) for (c, t, m, a) in got if c == "c2"} == {
+        ("c2", 0, "P:maple", "P:maple"),
+        ("c2", 0, "P:maple", "P:tree"),
+        ("c2", 0, "P:maple", "P:plant"),
+    }
