@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -288,5 +289,123 @@ def conversation_progress_tws(stream: DataFrame) -> DataFrame:
             outputStructType=PROGRESS_SCHEMA,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+# ------------------------------------------- streaming winsorized stats
+
+WINSOR_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("sum_value_cents", LongType(), False),
+        StructField("sum_winsorized_cents", LongType(), False),
+        StructField("p_cutoff_cents", LongType(), False),
+    ]
+)
+
+# per-type exact cent histogram — the SAME sufficient statistic the
+# batch histogram-CDF uses, carried as parallel (cents, counts) arrays
+WINSOR_STATE_SCHEMA = StructType(
+    [
+        StructField("cents", ArrayType(LongType()), True),
+        StructField("cnts", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _winsor_advance(stored, new_cents, pct):
+    """Pure per-type transition of the streaming winsorized stats:
+    merge a micro-batch's integer-cent values into the stored
+    histogram, then recompute the EXACT batch answer over the whole
+    prefix — cutoff = min cents with cum·100 ≥ pct·n, winsorized sum =
+    Σ min(c, cutoff)·cnt. Because the histogram (not a running clip)
+    is the state, the cutoff re-clips ALL history every batch: the
+    emission equals the batch operator on the stream prefix exactly,
+    which no fixed-cutoff running winsorization can achieve.
+
+    ``stored``: (cents_list, cnts_list) or None. Returns
+    (new_stored, (n, sum_cents, sum_winsorized, cutoff))."""
+    hist: dict = (
+        dict(zip(stored[0], stored[1])) if stored is not None else {}
+    )
+    for c in new_cents:
+        hist[c] = hist.get(c, 0) + 1
+    n = sum(hist.values())
+    cum = 0
+    cutoff = None
+    for c in sorted(hist):
+        cum += hist[c]
+        if cutoff is None and cum * 100 >= pct * n:
+            cutoff = c
+    sum_cents = sum(c * k for c, k in hist.items())
+    sum_w = sum(min(c, cutoff) * k for c, k in hist.items())
+    keys = sorted(hist)
+    return (keys, [hist[c] for c in keys]), (n, sum_cents, sum_w, cutoff)
+
+
+def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFrame:
+    """Streaming twin of the batch ``winsorized_stats``
+    (``operators/events.py:430``): per event type, running
+    (n_events, sum_value_cents, sum_winsorized_cents, p_cutoff_cents)
+    where the tail clip uses the type's own exact p``pct`` over
+    EVERYTHING seen so far.
+
+    State = the per-type integer-cent histogram — bounded by DISTINCT
+    cent values (the identical bound the batch histogram-CDF relies
+    on), not by event count, so a billion-event stream with a bounded
+    value domain carries kilobytes of state per type. Keyed on
+    event_type: one shuffle per micro-batch; the key domain is the
+    metrics-type dictionary (small by construction — this operator
+    aggregates ACROSS users, so a per-user salt would change its
+    semantics; a genuinely unbounded value domain needs a sketch
+    quantile instead, which trades the exactness pinned here).
+    Emission mode: update — the LAST row per type equals the batch
+    operator over the full input (test-pinned via the shared
+    transition and an end-to-end query). ``pct`` defaults to the batch
+    operator's WINSOR_PCT so the twins cannot drift."""
+    import math
+
+    from ontology_loader_spark.operators.events import WINSOR_PCT
+
+    if pct is None:
+        pct = WINSOR_PCT
+
+    def update(
+        key: Tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stored = tuple(state.get) if state.exists else None
+        cents = []
+        for pdf in pdf_iter:
+            for v in pdf["value"]:
+                cents.append(int(math.floor(float(v) * 100 + 0.5)))
+        new_state, (n, s, sw, cut) = _winsor_advance(stored, cents, pct)
+        state.update(new_state)
+        state.setTimeoutDuration(60 * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([key[0]], dtype="object"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "sum_value_cents": pd.Series([s], dtype="int64"),
+                "sum_winsorized_cents": pd.Series([sw], dtype="int64"),
+                "p_cutoff_cents": pd.Series([cut], dtype="int64"),
+            }
+        )
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=WINSOR_OUT_SCHEMA,
+            stateStructType=WINSOR_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -235,3 +235,88 @@ def test_asof_join_stream_query(spark, tmp_path):
         for r in asof_join(df).collect()
     }
     assert got == want
+
+
+def test_winsor_transition_matches_batch_on_prefixes(spark):
+    """Feeding micro-batch chunks through the pure _winsor_advance
+    transition reproduces the batch winsorized_stats EXACTLY at every
+    prefix — the histogram state makes the clip retroactive, so each
+    emission is the batch answer over everything seen so far."""
+    import math
+
+    from ontology_loader_spark.operators.events import winsorized_stats
+    from ontology_loader_spark.streaming.stateful import _winsor_advance
+
+    rows = _rand_events(240, seed=5)
+    chunks = [rows[i : i + 60] for i in range(0, len(rows), 60)]
+    state: dict = {}
+    for prefix_end in range(1, len(chunks) + 1):
+        chunk = chunks[prefix_end - 1]
+        per_type: dict = {}
+        for _eid, _ts, _uid, etype, value, _p in chunk:
+            per_type.setdefault(etype, []).append(
+                int(math.floor(float(value) * 100 + 0.5))
+            )
+        got = {}
+        for etype in per_type:
+            state[etype], _ = _winsor_advance(
+                state.get(etype), per_type[etype], 90
+            )
+        for etype, st in state.items():
+            _, stats = _winsor_advance(st, [], 90)
+            got[etype] = stats
+        prefix_rows = [r for c in chunks[:prefix_end] for r in c]
+        want = {
+            r["event_type"]: (r["n_events"], r["sum_value_cents"],
+                              r["sum_winsorized_cents"], r["p_cutoff_cents"])
+            for r in winsorized_stats(_mk_events(spark, prefix_rows)).collect()
+        }
+        assert got == want
+
+
+def test_winsorized_stream_query_matches_batch(spark, tmp_path):
+    """End-to-end streaming query: the LAST update-mode emission per
+    event type equals the batch winsorized_stats over the full input."""
+    from ontology_loader_spark.operators.events import winsorized_stats
+    from ontology_loader_spark.streaming.stateful import winsorized_stats_stream
+
+    rows = _rand_events(300, seed=9)
+    df = _mk_events(spark, rows)
+    src = tmp_path / "winsor_src"
+    df.coalesce(4).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        winsorized_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("winsor_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "winsor_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per type = max n_events per type (monotone growth)
+    emitted = spark.sql("select * from winsor_stream").collect()
+    last: dict = {}
+    for r in emitted:
+        if (r["event_type"] not in last
+                or r["n_events"] > last[r["event_type"]]["n_events"]):
+            last[r["event_type"]] = r
+    got = {
+        k: (r["n_events"], r["sum_value_cents"],
+            r["sum_winsorized_cents"], r["p_cutoff_cents"])
+        for k, r in last.items()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_value_cents"],
+                          r["sum_winsorized_cents"], r["p_cutoff_cents"])
+        for r in winsorized_stats(df).collect()
+    }
+    assert got == want
+    assert len(emitted) > len(want)  # multiple micro-batches actually ran
