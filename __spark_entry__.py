@@ -400,6 +400,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_embs(spark, sf_dir))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: trained-k-means cells + within-cell min-id duplicate
+    marking at quantized cosine >= threshold."""
+    from ontology_loader_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.similarity import embedding_near_dups
 
@@ -777,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_closure_delete": q_incremental_closure_delete,
         "corpus_prep_containment": q_corpus_prep_containment,
         "mention_ancestors": q_mention_ancestors,
+        "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
@@ -868,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_closure": oracle.q_ancestor_closure(),
         "incremental_closure_delete": oracle.q_ancestor_closure_after_delete(),
         "mention_ancestors": oracle.q_mention_ancestors(),
+        "semantic_dedup": _similarity.semantic_dedup_sql(),
         "ancestor_histogram": oracle.q_ancestor_histogram(),
         "pagerank": _graph.pagerank_sql(),
         "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(

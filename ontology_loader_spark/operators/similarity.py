@@ -769,3 +769,131 @@ SELECT a, b, cos_sim FROM (
   FROM split l JOIN split r
     ON l.bucket = r.bucket AND l.sub = r.sub AND l.vec_id < r.vec_id
 ) WHERE cos_sim >= {threshold}"""
+
+
+# ------------------------------------------------- semantic dedup
+
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_MAX_CELL = 128
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    cells: int | None = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    max_cell: int = SEMDEDUP_MAX_CELL,
+    init: str = "first",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    re-expressed on the engine's exact-integer k-means): cluster the
+    embedding space with the trained IVF centroids, then WITHIN each
+    cell mark a vector a semantic duplicate when a LOWER-id cell-mate
+    sits at quantized cosine ≥ ``threshold``. Output
+    (vec_id, cell, dup_of) — ``dup_of`` = the minimum such lower id,
+    NULL = kept. Deterministic end to end (integer dots, doubles only
+    at the final divide; min-id canonical), so the unrolled SQL oracle
+    hash-matches.
+
+    Scale shape: clustering is the verified ivf_centroids path
+    (centroid set ≈ sqrt(N), broadcast); the pair search is an
+    equi-join on cell — NEVER all-pairs across the corpus. Per-cell
+    pair count is bounded by capping the CANDIDATE (lower/canonical)
+    side of each cell at ``max_cell`` members in deterministic md5
+    order — every vector is still judged (the probe side is uncapped),
+    so a hot cell costs O(|cell| · max_cell), the same hot-bucket
+    discipline as the LSH family. At 100 TB, cells ≈ sqrt(N) keeps
+    cell populations ~sqrt(N); the md5 cap is the backstop for skewed
+    clusters."""
+    assign = ivf_assign(embeddings, cells, iters, init)
+    vq = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("q")
+    ).withColumn("n2", _idot(F.col("q"), F.col("q")))
+    members = vq.join(assign, "vec_id")
+
+    w_cap = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        members.withColumn("crnk", F.row_number().over(w_cap))
+        .filter(F.col("crnk") <= max_cell)
+        .select(
+            F.col("cell"),
+            F.col("vec_id").alias("a"),
+            F.col("q").alias("qa"),
+            F.col("n2").alias("na"),
+        )
+    )
+    probe = members.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    dup = (
+        cand.join(probe, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos", _cos(_idot(F.col("qa"), F.col("qb")),
+                        F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("b")
+        .agg(F.min("a").alias("dup_of"))
+        .withColumnRenamed("b", "vec_id")
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id", "cell", "dup_of"
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    max_cell: int = SEMDEDUP_MAX_CELL,
+) -> str:
+    dot_vc = _idot_sql("v.q", "c.c_emb")
+    vnorm = _idot_sql("v.q", "v.q")
+    cnorm = _idot_sql("c.c_emb", "c.c_emb")
+    dot_ab = _idot_sql("a.qa", "b.q")
+    return f"""
+WITH {_ivf_centroids_sql(cells, iters)},
+qv AS (
+  SELECT vec_id, q, {_idot_sql('q', 'q')} AS n2
+  FROM (SELECT vec_id, {_QUANTIZE_SQL} AS q FROM embeddings)
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY CAST({dot_vc} AS DOUBLE)
+                 / sqrt(CAST({vnorm} AS DOUBLE) * CAST({cnorm} AS DOUBLE))
+                 DESC, c.cell) AS rnk
+    FROM (SELECT vec_id, {_QUANTIZE_SQL} AS q FROM embeddings) v
+    CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+members AS (
+  SELECT m.vec_id, m.cell, v.q, v.n2
+  FROM assign m JOIN qv v USING (vec_id)
+),
+cand AS (
+  SELECT cell, vec_id AS a, q AS qa, n2 AS na FROM (
+    SELECT cell, vec_id, q, n2,
+      ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crnk
+    FROM members
+  ) WHERE crnk <= {max_cell}
+),
+dup AS (
+  SELECT b, CAST(MIN(a) AS BIGINT) AS dup_of FROM (
+    SELECT a.a, b.vec_id AS b,
+      CAST({dot_ab} AS DOUBLE)
+        / sqrt(CAST(a.na AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+    FROM cand a JOIN members b ON a.cell = b.cell AND a.a < b.vec_id
+  ) WHERE cos >= {threshold} GROUP BY b
+)
+SELECT m.vec_id, m.cell, d.dup_of
+FROM assign m LEFT JOIN dup d ON d.b = m.vec_id"""

@@ -137,3 +137,47 @@ def test_kmeans_parallel_seed_beats_first_ids_on_ordered_corpus(spark):
     s1 = kmeans_parallel_seed(embs.repartition(1), cells=4)
     s16 = kmeans_parallel_seed(embs.repartition(16), cells=4)
     assert s1 == s16
+
+
+def test_semantic_dedup_planted_pair(spark):
+    """A planted near-identical embedding pair lands in one cell and
+    the higher id is marked dup_of the lower; a far-away vector stays
+    kept. Every vector is judged exactly once."""
+    import random
+
+    from ontology_loader_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    # a spread background so k-means has structure
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    base = [0.9, 0.1, -0.4, 0.7, 0.2, -0.8, 0.5, 0.3]
+    rows.append((100, base))
+    rows.append((101, [v * 1.01 for v in base]))      # same direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r["vec_id"]: r["dup_of"]
+           for r in semantic_dedup(emb, threshold=0.98, cells=4).collect()}
+    assert len(got) == 42
+    assert got[101] == 100          # cosine ~1 -> dup of the lower id
+    assert got[100] is None         # canonical copy kept
+
+
+def test_semantic_dedup_cell_cap_bounds_candidates(spark):
+    """max_cell caps only the CANDIDATE side: with a cap of 1, every
+    vector is still judged (one row per vec), and dups can only point
+    at the single md5-selected candidate of their cell."""
+    from ontology_loader_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]  # all identical
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, threshold=0.9, cells=2, max_cell=1).collect()
+    assert len(out) == 12
+    dup_targets = {r["dup_of"] for r in out if r["dup_of"] is not None}
+    # identical vectors share one cell -> exactly one candidate anchor
+    assert len(dup_targets) == 1
+    anchor = dup_targets.pop()
+    kept = [r["vec_id"] for r in out if r["dup_of"] is None]
+    # only the anchor itself and any id LOWER than the anchor survive
+    assert all(v <= anchor for v in kept)
