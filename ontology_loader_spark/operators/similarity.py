@@ -805,11 +805,15 @@ def semantic_dedup(
     discipline as the LSH family. At 100 TB, cells ≈ sqrt(N) keeps
     cell populations ~sqrt(N); the md5 cap is the backstop for skewed
     clusters."""
+    # shuffle_hash hints throughout: every join here keys on vec_id or
+    # cell with both sides corpus-derived — hash joins sort neither
+    # side (sort-merge would re-sort the embedding arrays' rows), and
+    # AQE still downgrades to broadcast when a side is tiny
     assign = ivf_assign(embeddings, cells, iters, init)
     vq = embeddings.select(
         "vec_id", _quantize(F.col("embedding")).alias("q")
     ).withColumn("n2", _idot(F.col("q"), F.col("q")))
-    members = vq.join(assign, "vec_id")
+    members = vq.join(assign.hint("shuffle_hash"), "vec_id")
 
     w_cap = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
@@ -831,7 +835,7 @@ def semantic_dedup(
         F.col("n2").alias("nb"),
     )
     dup = (
-        cand.join(probe, "cell")
+        cand.hint("shuffle_hash").join(probe, "cell")
         .filter(F.col("a") < F.col("b"))
         .withColumn(
             "cos", _cos(_idot(F.col("qa"), F.col("qb")),
@@ -842,7 +846,7 @@ def semantic_dedup(
         .agg(F.min("a").alias("dup_of"))
         .withColumnRenamed("b", "vec_id")
     )
-    return assign.join(dup, "vec_id", "left").select(
+    return assign.join(dup.hint("shuffle_hash"), "vec_id", "left").select(
         "vec_id", "cell", "dup_of"
     )
 
