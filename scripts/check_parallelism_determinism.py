@@ -33,6 +33,7 @@ PROBE_QUERIES = [
     "quality_percentile",
     "dedup_clusters",
     "ann_ivf_topk",                 # trained k-means
+    "semantic_dedup",               # k-means cells + md5 candidate cap
     "corpus_prep_containment",
 ]
 
