@@ -308,3 +308,154 @@ def test_shuffle_order_partitioning_invariant(spark):
     one = sorted(map(tuple, shuffle_order(docs.coalesce(1), 4).collect()))
     many = sorted(map(tuple, shuffle_order(docs.repartition(13), 32).collect()))
     assert one == many
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """Pure-Python re-derivation of semantic_dedup: quantize, run the
+    identical first-k-seed Lloyd iterations, assign, md5-cap the
+    candidate side, min-id dup marking — on seeded random embeddings
+    with planted duplicate directions."""
+    import hashlib
+
+    from ontology_loader_spark.operators.similarity import (
+        IVF_ITERS,
+        QUANT,
+        semantic_dedup,
+    )
+
+    rng = random.Random(17)
+    dim, n, cells, max_cell, threshold = 6, 40, 4, 8, 0.6
+    rows = []
+    for i in range(n):
+        if i % 7 == 6 and rows:
+            base = rows[rng.randrange(len(rows))][1]
+            rows.append((i, [v * rng.uniform(0.9, 1.1) for v in base]))
+        else:
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ---- brute force (float32 cast first, like the parquet column)
+    import struct as _st
+
+    def f32(v):
+        return _st.unpack("f", _st.pack("f", v))[0]
+
+    q = {i: [math.floor(f32(v) * QUANT) for v in vec] for i, vec in rows}
+
+    def idot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cos(a, b):
+        return idot(a, b) / math.sqrt(idot(a, a) * idot(b, b))
+
+    cents = {c: list(q[c]) for c in range(cells)}
+    for _ in range(IVF_ITERS):
+        members = {}
+        for i in sorted(q):
+            best = max(
+                sorted(cents), key=lambda c: (cos(q[i], cents[c]), -c)
+            )
+            members.setdefault(best, []).append(i)
+        cents = {
+            c: [
+                math.floor(sum(q[i][p] for i in ms) / len(ms))
+                for p in range(dim)
+            ]
+            for c, ms in members.items()
+        }
+    assign = {
+        i: max(sorted(cents), key=lambda c: (cos(q[i], cents[c]), -c))
+        for i in sorted(q)
+    }
+    by_cell = {}
+    for i, c in assign.items():
+        by_cell.setdefault(c, []).append(i)
+    want = {}
+    for c, ms in by_cell.items():
+        cand = sorted(
+            ms, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:max_cell]
+        for b in ms:
+            dups = [a for a in cand if a < b and cos(q[a], q[b]) >= threshold]
+            want[b] = (c, min(dups) if dups else None)
+
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"])
+        for r in semantic_dedup(
+            emb, threshold=threshold, cells=cells, max_cell=max_cell
+        ).collect()
+    }
+    assert got == want
+    assert any(d is not None for _, d in got.values())  # planted dups found
+
+
+def test_mention_ancestors_matches_bruteforce(spark):
+    """Pure-Python re-derivation: substring mention detection, longest-
+    surface top-1 per turn, BFS ancestors over the raw edge graph with
+    the F1 emission filter — on a seeded random transcript corpus."""
+    import datetime
+
+    from ontology_loader_spark.pipeline import mention_ancestor_triples
+    from ontology_loader_spark.schemas import (
+        EDGE_SCHEMA,
+        TERM_DICT_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+    )
+
+    rng = random.Random(29)
+    names = ["alpha", "beta", "gamma", "alphabet", "delta"]
+    terms = [(f"P:{n}", n) for n in names]
+    base = datetime.datetime(2026, 6, 1)
+    turns = []
+    for ci in range(12):
+        for ti in range(rng.randint(1, 4)):
+            words = [rng.choice(names + VOCAB) for _ in range(rng.randint(2, 8))]
+            turns.append((f"c{ci}", ti, "user", " ".join(words), None, base))
+    # random DAG over P-terms plus a foreign hop
+    nodes = [f"P:{n}" for n in names] + ["Q:x"]
+    edges = []
+    for i in range(1, len(nodes)):
+        for j in rng.sample(range(i), min(2, i)):
+            edges.append((nodes[i], "rdfs:subClassOf", nodes[j]))
+    edges.append(("P:delta", "rdfs:seeAlso", "P:alpha"))  # ignored pred
+
+    tr = spark.createDataFrame(turns, TRANSCRIPT_SCHEMA)
+    md = spark.createDataFrame(terms, "id string, name string")
+    td = spark.createDataFrame(
+        [(f"P:{n}", n, "", [], False, None) for n in names]
+        + [("P:extra", "extra", "", [], False, None)],
+        TERM_DICT_SCHEMA,
+    )
+    ed = spark.createDataFrame(edges, EDGE_SCHEMA)
+
+    # ---- brute force
+    adj = {}
+    for s, p, o in edges:
+        if p in ("rdfs:subClassOf", "BFO:0000050"):
+            adj.setdefault(s, set()).add(o)
+
+    def ancestors(t):
+        seen, stack = {t}, [t]
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):  # traverse through foreign nodes
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return {a for a in seen if a.startswith("P:")}  # F1 on emission
+
+    want = set()
+    for conv_id, turn_idx, _role, text, _tool, _ts in turns:
+        hits = [(tid, nm) for tid, nm in terms if nm in text]
+        if not hits:
+            continue
+        tid, _ = min(hits, key=lambda h: (-len(h[1]), h[0]))
+        for a in ancestors(tid):
+            want.add((conv_id, turn_idx, tid, a))
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["term_id"], r["ancestor"])
+        for r in mention_ancestor_triples(spark, tr, md, ed, td, "p").collect()
+    }
+    assert got == want
+    assert len(got) > 20  # non-trivial corpus actually linked
