@@ -152,6 +152,15 @@ def main() -> None:
         try:
             prev_doc = json.loads(Path(prev_path).read_text())
             prev_q = (prev_doc.get("parsed") or prev_doc).get("queries", {})
+            if not prev_q and isinstance(prev_doc.get("tail"), str):
+                # driver snapshots sometimes carry parsed=null with a
+                # truncated stdout tail — recover what survives by
+                # scraping "name": seconds pairs scoped to known names
+                import re
+
+                pairs = re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)',
+                                   prev_doc["tail"])
+                prev_q = {k: float(v) for k, v in pairs if k in timings}
             for k in sorted(set(timings) | set(prev_q)):
                 now, was = timings.get(k), prev_q.get(k)
                 if now is not None and was:
