@@ -368,9 +368,14 @@ def incremental_closure_delete(
        edges' subjects — cost proportional to the delete cone;
     2. ``affected`` = those sources ∩ closure domain; every stored row
        of an affected subject is invalidated (over-delete);
-    3. re-derive: a fresh frontier closure seeded ONLY at the affected
-       subjects over the remaining edge set (cost again the cone, not
-       the corpus of subjects);
+    3. re-derive: a fresh closure restricted to the affected subjects
+       over the remaining edge set. Strategy is dispatched on the
+       MEASURED cone size: a small cone seeds a frontier BFS (cost ~
+       the cone, O(depth) driver rounds); a cone covering most of the
+       closure domain (a deletion near the roots — also the gate's
+       random-slice case) switches to path-doubling, whose O(log2
+       depth) rounds beat the frontier's O(depth) when the work is
+       domain-sized anyway;
     4. untouched subjects' rows carry over verbatim.
 
     The union is disjoint by subject, so no distinct is needed.
@@ -418,9 +423,16 @@ def incremental_closure_delete(
         ["subject", "predicate", "object"],
         "left_anti",
     )
+    # both sides of the dispatch are dictionary-bounded counts (the
+    # closure domain, not the corpus) — two cheap actions
+    strategy = (
+        "doubling"
+        if affected.count() * 2 >= relevant.count()
+        else "frontier"
+    )
     rederived = ancestor_closure(
         remaining, affected, ontology, predicates, max_iterations,
-        strategy="frontier",
+        strategy=strategy,
     )
     return kept.select(*prior_closure.columns).unionByName(rederived)
 
