@@ -261,3 +261,29 @@ def test_mention_ancestor_triples_expand_through_closure(spark):
         ("c2", 0, "P:maple", "P:tree"),
         ("c2", 0, "P:maple", "P:plant"),
     }
+
+
+def test_redirect_map_terminates_on_cycles(spark):
+    """A replaced_by cycle (curation error) must not hang: the chain
+    follower is iteration-bounded and every obsolete source still gets
+    exactly one row (its dst lands somewhere inside the cycle); clean
+    chains resolve to their live end unaffected."""
+    from ontology_loader_spark.operators.redirects import redirect_map
+    from ontology_loader_spark.schemas import TERM_DICT_SCHEMA
+
+    td = spark.createDataFrame(
+        [
+            ("P:a", "a", "", [], True, "P:b"),   # a -> b -> a cycle
+            ("P:b", "b", "", [], True, "P:a"),
+            ("P:c", "c", "", [], True, "P:d"),   # clean chain c -> d -> e
+            ("P:d", "d", "", [], True, "P:e"),
+            ("P:e", "e", "", [], False, None),   # live end
+            ("P:f", "f", "", [], True, "P:f"),   # self-redirect
+        ],
+        TERM_DICT_SCHEMA,
+    )
+    got = {r["src"]: r["dst"] for r in redirect_map(td).collect()}
+    assert set(got) == {"P:a", "P:b", "P:c", "P:d", "P:f"}
+    assert got["P:c"] == "P:e" and got["P:d"] == "P:e"
+    assert got["P:a"] in ("P:a", "P:b") and got["P:b"] in ("P:a", "P:b")
+    assert got["P:f"] == "P:f"
