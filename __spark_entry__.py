@@ -285,6 +285,19 @@ def q_mention_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_ancestor_triples(spark, tr, md, ed, td, ONT)
 
 
+def q_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic rollup: closure-grounded mention triples aggregated per
+    ancestor (distinct linked turns + triple count) — hot root
+    ancestors absorbed by map-side partial aggregation."""
+    from ontology_loader_spark.pipeline import ancestor_mention_rollup
+
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    td = derive.derive_term_dict(spark, sf_dir)
+    return ancestor_mention_rollup(spark, tr, md, ed, td, ONT)
+
+
 def q_transcript_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = derive.derive_transcripts(spark, sf_dir)
     return with_turn_order(tr).select("conv_id", "turn_idx", "rn", "text")
@@ -786,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_containment": q_corpus_prep_containment,
         "mention_ancestors": q_mention_ancestors,
         "semantic_dedup": q_semantic_dedup,
+        "ancestor_rollup": q_ancestor_rollup,
         "token_stats": q_token_stats,
         "group_quantiles": q_group_quantiles,
         "containment_dedup": q_containment_dedup,
@@ -878,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_closure_delete": oracle.q_ancestor_closure_after_delete(),
         "mention_ancestors": oracle.q_mention_ancestors(),
         "semantic_dedup": _similarity.semantic_dedup_sql(),
+        "ancestor_rollup": oracle.q_ancestor_rollup(),
         "ancestor_histogram": oracle.q_ancestor_histogram(),
         "pagerank": _graph.pagerank_sql(),
         "kmv_distinct_tokens": _sketch.kmv_distinct_tokens_sql(

@@ -368,6 +368,18 @@ WHERE {F1_O}""",
     )
 
 
+def q_ancestor_rollup() -> str:
+    """Semantic rollup oracle: the mention-ancestor triples aggregated
+    per ancestor (distinct linked turns + triple count)."""
+    base = q_mention_ancestors()
+    return f"""
+SELECT ancestor,
+       COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_turns,
+       COUNT(*) AS n_mentions
+FROM ({base})
+GROUP BY ancestor"""
+
+
 def q_redirect_map() -> str:
     """Alt-id / obsolete-term redirect map: follow replaced_by chains
     from each obsolete term to a live target (chains here are length 1

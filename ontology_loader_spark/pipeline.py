@@ -271,3 +271,36 @@ def mention_ancestor_triples(
         ),
         "term_id",
     ).select("conv_id", "turn_idx", "term_id", "ancestor")
+
+
+def ancestor_mention_rollup(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    edges: DataFrame,
+    term_dict: DataFrame,
+    ontology: str,
+) -> DataFrame:
+    """Semantic rollup over the closure-grounded triples: how often
+    each ontology term — INCLUDING every ancestor it entails — is
+    touched by the transcript corpus. Output
+    (ancestor, n_turns, n_mentions): n_turns = distinct linked turns
+    reaching the term through the closure, n_mentions = closure-triple
+    count. This is the "roll counts up the is_a hierarchy" aggregate a
+    KG consumer asks first ('how much of the corpus is about
+    <high-level concept>?'), and the hierarchy-rollup analog of a
+    time-bucket rollup.
+
+    Scale shape: one groupBy on the ancestor key after the broadcast
+    closure expansion — hot high-level ancestors (roots entail
+    everything) are exactly the skew case partial aggregation absorbs:
+    count/count-distinct partials combine map-side, so the hot key
+    ships one partial row per task, not its row set."""
+    triples = mention_ancestor_triples(
+        spark, transcripts, mention_dict, edges, term_dict, ontology
+    )
+    turn_key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx"))
+    return triples.groupBy("ancestor").agg(
+        F.countDistinct(turn_key).alias("n_turns"),
+        F.count("*").alias("n_mentions"),
+    )
