@@ -38,6 +38,15 @@ from ontology_loader_spark.operators.relations import (
 from ontology_loader_spark.schemas import DEFAULT_PREDICATES
 
 
+# Broadcast ceiling for the ontology-closure pair set in
+# mention_ancestor_triples: |terms| × depth pairs. Small/mid ontologies
+# (GO, ENVO: ≤~100k terms) sit far under it; NCBITaxon-scale closures
+# (~2.5M terms × depth 20-30 → 50-75M pairs, multi-GB serialized) blow
+# past Spark's broadcast ceiling and must shuffle instead. Same measured
+# auto-dispatch recipe as operators/dedup.py::BROADCAST_PAIRS_MAX.
+BROADCAST_CLOSURE_PAIRS_MAX = 2_000_000
+
+
 @dataclass
 class ExtractionResult:
     classes: DataFrame          # with relations arrays attached (Q12)
@@ -235,6 +244,7 @@ def mention_ancestor_triples(
     edges: DataFrame,
     term_dict: DataFrame,
     ontology: str,
+    broadcast_closure: bool | None = None,
 ) -> DataFrame:
     """The KG-materialization step that grounds the ontology closure in
     the transcripts (north star: 'transitive-closure expansion of is_a
@@ -245,10 +255,14 @@ def mention_ancestor_triples(
     entity set retrieval/aggregation layers consume.
 
     Scale shape: the links side is corpus-sized (one row per linked
-    turn); the closure side is ontology-bounded (|terms| × depth — a
-    dictionary-scale pair set even for million-term ontologies), so it
-    BROADCASTS into the probe over the links scan: the corpus never
-    shuffles for this join, and the fan-out (× ancestor count)
+    turn); the closure side is |terms| × depth pairs — dictionary-scale
+    for most ontologies but multi-GB for NCBITaxon-class hierarchies.
+    The default ``broadcast_closure=None`` therefore MEASURES the
+    closure (it is already materialized by the iterative computation)
+    and broadcasts only under ``BROADCAST_CLOSURE_PAIRS_MAX``; above it
+    the join runs as a shuffle-hash equi-join on term_id (hinted —
+    without the hint Spark's planner would pick a sort-merge join and
+    sort the corpus side). Either way the fan-out (× ancestor count)
     happens partition-parallel on the probe side."""
     from ontology_loader_spark.operators.closure import (
         ancestor_closure,
@@ -261,16 +275,24 @@ def mention_ancestor_triples(
 
     links = top1_links(detect_mentions(spark, transcripts, mention_dict))
     rel = relevant_entities(term_dict, ontology)
-    closure = ancestor_closure(edges, rel, ontology)
-    return links.join(
-        F.broadcast(
-            closure.select(
-                F.col("subject").alias("term_id"),
-                F.col("object").alias("ancestor"),
-            )
-        ),
-        "term_id",
-    ).select("conv_id", "turn_idx", "term_id", "ancestor")
+    closure_pairs = ancestor_closure(edges, rel, ontology).select(
+        F.col("subject").alias("term_id"),
+        F.col("object").alias("ancestor"),
+    )
+    if broadcast_closure is None:
+        # the closure is the product of an iterative job whose steps are
+        # localCheckpointed — pin the final projection too so the count
+        # and the join read one materialization
+        closure_pairs = closure_pairs.localCheckpoint(eager=True)
+        broadcast_closure = closure_pairs.count() <= BROADCAST_CLOSURE_PAIRS_MAX
+    side = (
+        F.broadcast(closure_pairs)
+        if broadcast_closure
+        else closure_pairs.hint("shuffle_hash")
+    )
+    return links.join(side, "term_id").select(
+        "conv_id", "turn_idx", "term_id", "ancestor"
+    )
 
 
 def ancestor_mention_rollup(
@@ -291,8 +313,9 @@ def ancestor_mention_rollup(
     <high-level concept>?'), and the hierarchy-rollup analog of a
     time-bucket rollup.
 
-    Scale shape: one groupBy on the ancestor key after the broadcast
-    closure expansion — hot high-level ancestors (roots entail
+    Scale shape: one groupBy on the ancestor key after the
+    (auto-dispatched, see ``mention_ancestor_triples``) closure
+    expansion — hot high-level ancestors (roots entail
     everything) are exactly the skew case partial aggregation absorbs:
     count/count-distinct partials combine map-side, so the hot key
     ships one partial row per task, not its row set."""

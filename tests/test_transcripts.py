@@ -287,3 +287,64 @@ def test_redirect_map_terminates_on_cycles(spark):
     assert got["P:c"] == "P:e" and got["P:d"] == "P:e"
     assert got["P:a"] in ("P:a", "P:b") and got["P:b"] in ("P:a", "P:b")
     assert got["P:f"] == "P:f"
+
+
+def test_mention_ancestor_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """NCBITaxon-scale closures exceed Spark's broadcast ceiling, so the
+    closure join must auto-dispatch onto a shuffle-hash equi-join with
+    identical output. Pin broadcast=True vs broadcast=False equality,
+    then force the auto default (None) into the shuffle branch with a
+    zero ceiling and assert it neither broadcasts nor sort-merges."""
+    import datetime
+
+    from ontology_loader_spark import pipeline as pl
+    from ontology_loader_spark.schemas import (
+        EDGE_SCHEMA,
+        TERM_DICT_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+    )
+
+    base = datetime.datetime(2026, 6, 1)
+    tr = spark.createDataFrame(
+        [(f"c{i % 7}", i // 7, "user", f"term{i % 9} in passing", None, base)
+         for i in range(120)],
+        TRANSCRIPT_SCHEMA,
+    )
+    md = spark.createDataFrame(
+        [(f"P:t{j}", f"term{j}") for j in range(9)], "id string, name string"
+    )
+    td = spark.createDataFrame(
+        [(f"P:t{j}", f"term{j}", "", [], False, None) for j in range(9)]
+        + [("P:root", "root", "", [], False, None)],
+        TERM_DICT_SCHEMA,
+    )
+    ed = spark.createDataFrame(
+        [(f"P:t{j}", "rdfs:subClassOf", f"P:t{j // 2}") for j in range(1, 9)]
+        + [("P:t0", "rdfs:subClassOf", "P:root")],
+        EDGE_SCHEMA,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    bcast = rows(pl.mention_ancestor_triples(
+        spark, tr, md, ed, td, "p", broadcast_closure=True))
+    shuf_df = pl.mention_ancestor_triples(
+        spark, tr, md, ed, td, "p", broadcast_closure=False)
+    assert rows(shuf_df) == bcast and len(bcast) > 0
+
+    monkeypatch.setattr(pl, "BROADCAST_CLOSURE_PAIRS_MAX", 0)
+    auto = pl.mention_ancestor_triples(spark, tr, md, ed, td, "p")
+    assert rows(auto) == bcast
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [term_id" in plan
+    assert "SortMergeJoin" not in plan
+
+    # the rollup consumes the same dispatcher — must stay green too
+    roll = pl.ancestor_mention_rollup(spark, tr, md, ed, td, "p")
+    want = {}
+    for (_, c, t, _m, a) in [(None,) + r for r in bcast]:
+        n_turns, n_mentions = want.get(a, (set(), 0))
+        want[a] = (n_turns | {(c, t)}, n_mentions + 1)
+    got = {r["ancestor"]: (r["n_turns"], r["n_mentions"]) for r in roll.collect()}
+    assert got == {a: (len(s), n) for a, (s, n) in want.items()}
