@@ -56,7 +56,14 @@ def with_payload(documents: DataFrame) -> DataFrame:
 def decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB decode kernel. Production uses the PIL-backed kernel below
     when the library is present; this deterministic fallback derives
-    fake dims from the first two payload bytes (clearly statused)."""
+    fake dims from the first two payload bytes (clearly statused).
+
+    Total over ALL byte strings: a truncated 0/1-byte payload — which
+    every real codec would reject — yields (0, 0, 'decode_error')
+    instead of raising, so the fallback path can never kill an Arrow
+    batch."""
+    if len(payload) < 2:
+        return 0, 0, "decode_error"
     width = 1 + (payload[0] % 64)
     height = 1 + (payload[1] % 64)
     return width, height, "stub_decoded"

@@ -171,18 +171,31 @@ def classify_class_changes(incoming: DataFrame, class_state: DataFrame) -> DataF
 def apply_class_upserts(class_state: DataFrame, classified: DataFrame) -> DataFrame:
     """M2 apply: state rows not in incoming stay; incoming inserts and
     updates replace/extend. (Unchanged rows keep the stored doc —
-    identical by definition.) Schema evolution: a column the incoming
-    frame carries but the stored state predates is backfilled as NULL
-    on the kept rows — the document-store semantics of adding a field."""
+    identical by definition.) Schema evolution is symmetric on the
+    MERGED column set: a column only the incoming frame carries is
+    backfilled NULL on the kept rows (adding a field), and a column
+    only the stored state carries SURVIVES on documents this batch
+    never touched — kept rows keep their stored value, while
+    replaced/inserted docs carry NULL for it (the reference's upsert
+    replaces the document wholesale, ``mongodb_loader.py:223``)."""
     incoming_cols = [c for c in classified.columns if c != "change_kind"]
     changed = classified.filter(F.col("change_kind") != "unchanged").select(*incoming_cols)
+    # incoming-only columns: NULL on kept state rows
     for c in incoming_cols:
         if c not in class_state.columns:
             class_state = class_state.withColumn(
                 c, F.lit(None).cast(classified.schema[c].dataType)
             )
-    kept = class_state.join(changed.select("id"), "id", "left_anti").select(*incoming_cols)
-    return kept.unionByName(changed)
+    # state-only columns: kept rows retain them; changed docs are
+    # whole-document replacements and carry NULL
+    state_only = [c for c in class_state.columns if c not in incoming_cols]
+    for c in state_only:
+        changed = changed.withColumn(
+            c, F.lit(None).cast(class_state.schema[c].dataType)
+        )
+    merged_cols = incoming_cols + state_only
+    kept = class_state.join(changed.select("id"), "id", "left_anti").select(*merged_cols)
+    return kept.unionByName(changed.select(*merged_cols))
 
 
 def valid_relations(incoming_relations: DataFrame) -> DataFrame:

@@ -25,6 +25,13 @@ Publish discipline — versioned directory + symlink flip:
   never a mix, never a missing path) and a crash mid-compaction
   leaves the previous version live and the half-written one as an
   orphaned sibling.
+- old versions are NOT deleted at publish time: a reader that resolved
+  the old version immediately before the flip may still be mid-scan.
+  GC is deferred one full compaction cycle (keep-last-N: the live
+  version plus the most recent replaced one always survive; anything
+  older is collected by the next compaction) — so a version is only
+  deleted once a strictly newer *replaced* version exists, i.e. at
+  least one whole compaction interval after it stopped being live.
 - the one exception is the FIRST compaction of a legacy plain
   directory, which must be migrated to the symlink layout: that flip
   is two renames (directory away, symlink in) with a sub-millisecond
@@ -61,6 +68,35 @@ def live_version(path: str) -> str | None:
     """The versioned directory ``path`` currently resolves to, or None
     for a legacy plain directory (pre-migration layout)."""
     return os.path.realpath(path) if os.path.islink(path) else None
+
+
+def gc_versions(path: str, keep_replaced: int = 1) -> list[str]:
+    """Collect version directories older than the ``keep_replaced``
+    most recently replaced ones (the live version is never touched).
+
+    Called after publish: the version replaced by THIS compaction is
+    the newest non-live sibling and therefore survives — a concurrent
+    reader that resolved it just before the flip can finish its scan.
+    It is collected by the NEXT compaction's GC, one full compaction
+    interval later."""
+    live = live_version(path)
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    replaced = []
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if (
+            name.startswith(f"{base}.v-")
+            and os.path.isdir(full)
+            and not os.path.islink(full)
+            and os.path.realpath(full) != live
+        ):
+            replaced.append(full)
+    replaced.sort(key=lambda p: os.stat(p).st_mtime, reverse=True)
+    victims = replaced[keep_replaced:]
+    for v in victims:
+        shutil.rmtree(v, ignore_errors=True)
+    return victims
 
 
 def _publish(path: str, new_version: str) -> None:
@@ -105,15 +141,16 @@ def compact_parquet_dir(
     nbytes = directory_bytes(path)
     n_files = max(1, -(-nbytes // target_bytes))
 
-    prev_version = live_version(path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     new_version = f"{path}.v-{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.mode("overwrite").parquet(new_version)
 
     _publish(path, new_version)
-    if prev_version is not None:
-        shutil.rmtree(prev_version, ignore_errors=True)
+    # deferred GC: the version replaced just now SURVIVES (concurrent
+    # readers mid-scan on it keep their files); versions replaced by
+    # earlier compactions are collected
+    gced = gc_versions(path)
 
     after_files = len(list(Path(path).rglob("*.parquet")))
     return {
@@ -122,4 +159,5 @@ def compact_parquet_dir(
         "bytes": nbytes,
         "rows": n_rows,
         "version_dir": new_version,
+        "gced_versions": gced,
     }

@@ -364,7 +364,14 @@ def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFr
     Emission mode: update — the LAST row per type equals the batch
     operator over the full input (test-pinned via the shared
     transition and an end-to-end query). ``pct`` defaults to the batch
-    operator's WINSOR_PCT so the twins cannot drift."""
+    operator's WINSOR_PCT so the twins cannot drift.
+
+    No state timeout, deliberately: the prefix-equality contract above
+    holds for the ENTIRE stream, so a type idle for an hour must keep
+    its histogram (a timeout+remove would silently restart it from
+    zero on the next event). State stays bounded without eviction —
+    the key domain is the small event-type dictionary and each value
+    is capped by distinct cent values."""
     import math
 
     from ontology_loader_spark.operators.events import WINSOR_PCT
@@ -377,9 +384,6 @@ def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFr
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
         stored = tuple(state.get) if state.exists else None
         cents = []
         for pdf in pdf_iter:
@@ -387,7 +391,6 @@ def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFr
                 cents.append(int(math.floor(float(v) * 100 + 0.5)))
         new_state, (n, s, sw, cut) = _winsor_advance(stored, cents, pct)
         state.update(new_state)
-        state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(
             {
                 "event_type": pd.Series([key[0]], dtype="object"),
@@ -406,6 +409,6 @@ def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFr
             outputStructType=WINSOR_OUT_SCHEMA,
             stateStructType=WINSOR_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

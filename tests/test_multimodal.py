@@ -137,3 +137,20 @@ def test_decode_payloads_default_stub_path(spark):
     except ImportError:
         assert out[0]["status"] == "stub_decoded"
     assert F  # silence linter
+
+
+def test_truncated_payload_never_kills_the_batch(spark):
+    """0- and 1-byte payloads (truncated uploads) must flow through the
+    Arrow batch as decode_error rows — total fallback, no IndexError —
+    alongside healthy rows in the SAME batch."""
+    import ontology_loader_spark.operators.multimodal as mm
+
+    assert mm.decode_image_stub(b"") == (0, 0, "decode_error")
+    assert mm.decode_image_stub(b"\x07") == (0, 0, "decode_error")
+
+    rows = [(1, b""), (2, b"\x07"), (3, b"\x10\x20payload")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.decode_payloads(df).collect()}
+    assert got[1]["status"] == "decode_error" and got[1]["n_bytes"] == 0
+    assert got[2]["status"] == "decode_error" and got[2]["n_bytes"] == 1
+    assert got[3]["status"] in ("stub_decoded", "decoded")

@@ -126,8 +126,10 @@ def test_compact_publishes_via_symlink_and_recompaction_is_atomic(
 ):
     """First compaction migrates the plain directory to the
     versioned+symlink layout; subsequent compactions re-point the link
-    (the table path resolves to a complete version at every step) and
-    garbage-collect the previous version. A recovery note never
+    (the table path resolves to a complete version at every step). GC
+    is deferred one cycle: the version replaced by THIS compaction
+    survives (a concurrent reader mid-scan on it keeps its files) and
+    is collected only by the NEXT compaction. A recovery note never
     survives a successful publish."""
     import glob
     import os
@@ -149,7 +151,17 @@ def test_compact_publishes_via_symlink_and_recompaction_is_atomic(
     s2 = compact_parquet_dir(spark, path, target_bytes=10**9)
     v2 = live_version(path)
     assert v2 == os.path.abspath(s2["version_dir"]) and v2 != v1
-    assert not os.path.exists(v1)            # previous version GC'd
+    # deferred GC: the just-replaced version still readable (grace)
+    assert os.path.isdir(v1) and s2["gced_versions"] == []
+    assert spark.read.parquet(v1).count() == 300
+    assert spark.read.parquet(path).count() == 300
+
+    s3 = compact_parquet_dir(spark, path, target_bytes=10**9)
+    v3 = live_version(path)
+    # v1 was replaced two cycles ago -> collected now; v2 in grace
+    assert s3["gced_versions"] == [v1]
+    assert not os.path.exists(v1)
+    assert os.path.isdir(v2) and v3 != v2
     assert spark.read.parquet(path).count() == 300
     assert not glob.glob(f"{path}.RECOVERY-*") # notes cleaned up
     assert not glob.glob(f"{path}.old-*")      # legacy dir cleaned up

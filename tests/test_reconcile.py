@@ -244,3 +244,36 @@ def test_schema_evolution_new_field_flows_through_cdc(spark):
     assert "semantic_version" in state.columns
     got = {r["id"]: r["semantic_version"] for r in state.collect()}
     assert got == {"A:1": "v1", "A:2": None}
+
+
+def test_schema_evolution_state_only_column_survives_on_untouched_docs(spark):
+    """The symmetric case: the stored state carries a column the
+    incoming batch does NOT (field retired from the loader, or state
+    written by a newer producer). Document-store semantics: documents
+    this batch never touches keep the field's stored value; documents
+    the batch replaces are whole-document upserts and carry NULL."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ontology_loader_spark.operators.reconcile import (
+        apply_class_upserts,
+        classify_class_changes,
+    )
+    from ontology_loader_spark.schemas import ONTOLOGY_CLASS_SCHEMA
+
+    evolved = StructType(
+        list(ONTOLOGY_CLASS_SCHEMA.fields)
+        + [StructField("legacy_note", StringType())]
+    )
+    state = spark.createDataFrame(
+        [(*mk_class("A:1"), "keep-me"), (*mk_class("A:2"), "replace-me")],
+        evolved,
+    )
+    # incoming predates/retired the column and only touches A:2
+    incoming = classes_df(spark, [mk_class("A:2", name="renamed")])
+    classified = classify_class_changes(incoming, state)
+    out = apply_class_upserts(state, classified)
+    assert "legacy_note" in out.columns
+    got = {r["id"]: (r["legacy_note"], r["name"]) for r in out.collect()}
+    # untouched doc keeps the stored value; replaced doc is a wholesale
+    # replacement (NULL for the column the batch does not carry)
+    assert got == {"A:1": ("keep-me", "n"), "A:2": (None, "renamed")}
