@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ontology_loader_spark import oracle
 from ontology_loader_spark.inputs import derive
+from ontology_loader_spark.inputs import textsource as _textsource
 from ontology_loader_spark.operators import corpus as _corpus
 from ontology_loader_spark.operators import dedup as _dedup
 from ontology_loader_spark.operators import events as _events
@@ -738,6 +739,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_window_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _textsource_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Deterministic corrupted export of the documents table (see
+    inputs/textsource.py): written under the repo, keyed by sf dir."""
+    from ontology_loader_spark.inputs import textsource as ts
+
+    out = str(
+        Path(__file__).resolve().parent
+        / ".fixtures"
+        / "textsource"
+        / kind
+        / Path(sf_dir).name
+    )
+    return ts.write_fixture(spark, sf_dir, kind, out)
+
+
+def q_textsource_csv_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-analog ingestion front door: PERMISSIVE CSV scan with
+    explicit schema; the clean channel must carry exactly the
+    uncorrupted rows, fully typed."""
+    from ontology_loader_spark.inputs import textsource as ts
+
+    path = _textsource_fixture(spark, sf_dir, "csv")
+    clean, _ = ts.read_documents_csv(spark, path, header=False)
+    return clean
+
+
+def q_textsource_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine channel of the same one-scan split: every
+    corrupted row accounted for with its identity and reason."""
+    from ontology_loader_spark.inputs import textsource as ts
+
+    path = _textsource_fixture(spark, sf_dir, "csv")
+    _, quarantined = ts.read_documents_csv(spark, path, header=False)
+    return ts.quarantine_key(quarantined)
+
+
+def q_textsource_jsonl_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.inputs import textsource as ts
+
+    path = _textsource_fixture(spark, sf_dir, "jsonl")
+    clean, _ = ts.read_documents_jsonl(spark, path)
+    return clean
+
+
+def q_textsource_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_loader_spark.inputs import textsource as ts
+
+    path = _textsource_fixture(spark, sf_dir, "jsonl")
+    _, quarantined = ts.read_documents_jsonl(spark, path)
+    return ts.quarantine_key(quarantined)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.multimodal import (
         decode_payloads,
@@ -795,9 +848,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back (every entry stays covered by the identical local harness,
     # scripts/check_queries_vs_oracle.py, either way).
     return {
-        # --- round-5 window: the 32 gates that sat behind r4's 50-row
-        # cut (driver-checked r3, local-harness green r4), plus the two
-        # closure-join gates whose dispatch changed this round ---
+        # --- round-5 window: the new textsource gates, the 32 gates
+        # that sat behind r4's 50-row cut (driver-checked r3, local-
+        # harness green r4), and the two closure-join gates whose
+        # dispatch changed this round ---
+        "textsource_csv_clean": q_textsource_csv_clean,
+        "textsource_csv_quarantine": q_textsource_csv_quarantine,
+        "textsource_jsonl_clean": q_textsource_jsonl_clean,
+        "textsource_jsonl_quarantine": q_textsource_jsonl_quarantine,
         "mention_ancestors": q_mention_ancestors,
         "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
@@ -929,6 +987,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text.text_quality_sql(),
         "lang_id": _text.lang_id_sql(),
         "doc_fingerprint": _text.doc_fingerprint_sql(),
+        "textsource_csv_clean": _textsource.clean_sql(),
+        "textsource_csv_quarantine": _textsource.quarantine_sql("csv"),
+        "textsource_jsonl_clean": _textsource.clean_sql(),
+        "textsource_jsonl_quarantine": _textsource.quarantine_sql("jsonl"),
         "multimodal_decode": _multimodal.decode_metadata_sql(),
         "multimodal_frame_sample": _multimodal.sample_frames_sql(),
         "multimodal_features": _multimodal.extract_payload_features_sql(),

@@ -126,3 +126,121 @@ def read_documents_csv(
         .csv(path)
     )
     return _split(raw, schema, required)
+
+
+# ------------------------------------------------------------------
+# Gate fixtures: a deterministic corrupted export of the documents
+# table. The corruption rules are pure functions of doc_id, so the
+# DuckDB oracle recomputes the expected clean / quarantined sets from
+# the documents VIEW alone — it never reads the fixture file, which
+# keeps the gate engine-independent (no read_csv dialect coupling).
+# Testdata invariant the fixture relies on (asserted in pytest): text
+# is [a-z0-9 ] only and no column is NULL, so lines need no quoting.
+#
+#   doc_id % 10 == 7  -> type garbage in the doc_id field  -> unparseable
+#   doc_id % 10 == 3  -> required `text` field missing     -> missing_required
+#   otherwise         -> well-formed row                   -> clean
+# ------------------------------------------------------------------
+
+UNPARSEABLE_RESIDUE = 7
+MISSING_RESIDUE = 3
+
+
+def _doc_lines_csv(documents: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    did = i.cast("string")
+    tail = F.concat_ws(
+        ",", F.col("lang"), F.col("source"), F.col("n_chars").cast("string")
+    )
+    line = (
+        F.when(
+            i % 10 == UNPARSEABLE_RESIDUE,
+            F.concat_ws(",", F.concat(F.lit("corrupt"), did), F.col("text"), tail),
+        )
+        .when(i % 10 == MISSING_RESIDUE, F.concat_ws(",", did, F.lit(""), tail))
+        .otherwise(F.concat_ws(",", did, F.col("text"), tail))
+    )
+    return documents.select(line.alias("value"))
+
+
+def _doc_lines_jsonl(documents: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    did = i.cast("string")
+    head = F.concat(F.lit('{"doc_id": '), did)
+    full = F.concat(
+        head,
+        F.lit(', "text": "'), F.col("text"),
+        F.lit('", "lang": "'), F.col("lang"),
+        F.lit('", "source": "'), F.col("source"),
+        F.lit('", "n_chars": '), F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    truncated = F.concat(head, F.lit(', "text": "'), F.col("text"), F.lit('"'))
+    missing = F.concat(
+        head,
+        F.lit(', "lang": "'), F.col("lang"),
+        F.lit('", "source": "'), F.col("source"),
+        F.lit('", "n_chars": '), F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    line = (
+        F.when(i % 10 == UNPARSEABLE_RESIDUE, truncated)
+        .when(i % 10 == MISSING_RESIDUE, missing)
+        .otherwise(full)
+    )
+    return documents.select(line.alias("value"))
+
+
+def write_fixture(spark: SparkSession, sf_dir: str, kind: str, out_dir: str) -> str:
+    """Materialize the corrupted export (kind: 'csv' | 'jsonl') as a
+    text directory under ``out_dir`` — a distributed write (one text
+    part per input partition), deterministic content at any
+    parallelism."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = _doc_lines_csv(docs) if kind == "csv" else _doc_lines_jsonl(docs)
+    lines.write.mode("overwrite").text(out_dir)
+    return out_dir
+
+
+def quarantine_key(quarantined: DataFrame) -> DataFrame:
+    """Canonical comparable form of the quarantine channel:
+    (reason, rec_key) where rec_key identifies the row — the extracted
+    doc_id for structurally-valid rows that failed the required-field
+    check, the raw line for unparseable ones."""
+    return quarantined.select(
+        "reason",
+        F.coalesce(
+            F.get_json_object(F.col("raw_record"), "$.doc_id"),
+            F.col("raw_record"),
+        ).alias("rec_key"),
+    )
+
+
+_CSV_RAW_LINE_SQL = (
+    "'corrupt' || CAST(doc_id AS VARCHAR) || ',' || text || ',' || lang"
+    " || ',' || source || ',' || CAST(n_chars AS VARCHAR)"
+)
+_JSONL_RAW_LINE_SQL = (
+    "'{\"doc_id\": ' || CAST(doc_id AS VARCHAR) || ', \"text\": \"' || text || '\"'"
+)
+
+
+def clean_sql() -> str:
+    """Oracle for the clean channel (identical for CSV and JSONL: both
+    fixtures corrupt the same residues)."""
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE doc_id % 10 NOT IN ({UNPARSEABLE_RESIDUE}, {MISSING_RESIDUE})
+"""
+
+
+def quarantine_sql(kind: str) -> str:
+    raw = _CSV_RAW_LINE_SQL if kind == "csv" else _JSONL_RAW_LINE_SQL
+    return f"""
+SELECT 'unparseable' AS reason, {raw} AS rec_key
+FROM documents WHERE doc_id % 10 = {UNPARSEABLE_RESIDUE}
+UNION ALL
+SELECT 'missing_required:doc_id,text' AS reason, CAST(doc_id AS VARCHAR) AS rec_key
+FROM documents WHERE doc_id % 10 = {MISSING_RESIDUE}
+"""

@@ -2,6 +2,8 @@
 malformed rows quarantine with the raw line (never dropped, never
 fatal), and the two outputs partition the input."""
 
+from pyspark.sql import functions as F
+
 from ontology_loader_spark.inputs.textsource import (
     read_documents_csv,
     read_documents_jsonl,
@@ -80,3 +82,48 @@ def test_quarantine_never_silently_drops(spark, tmp_path):
     clean, quarantined = read_documents_jsonl(spark, str(p))
     assert clean.count() == 0
     assert quarantined.count() == 2
+
+
+def test_gate_fixture_roundtrip_and_testdata_invariant(spark):
+    """The textsource gates derive a corrupted CSV/JSONL export from
+    the documents table and their DuckDB oracle recomputes the split
+    from the TABLE (it never reads the file). That only works if the
+    testdata text needs no quoting — pin the invariant here, plus the
+    full round-trip: clean ∪ quarantine == every input line, with the
+    residue rules landing each doc where the oracle expects it."""
+    import ontology_loader_spark.inputs.textsource as ts
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # invariant the fixture writers rely on
+    assert docs.filter(
+        F.col("text").rlike("[^a-z0-9 ]")
+        | F.col("doc_id").isNull() | F.col("text").isNull()
+        | F.col("lang").isNull() | F.col("source").isNull()
+        | F.col("n_chars").isNull()
+    ).count() == 0
+
+    n = docs.count()
+    for kind, reader in (
+        ("csv", lambda p: ts.read_documents_csv(spark, p, header=False)),
+        ("jsonl", lambda p: ts.read_documents_jsonl(spark, p)),
+    ):
+        path = f"/tmp/ts_fixture_{kind}"
+        ts.write_fixture(spark, sf_dir, kind, path)
+        clean, quar = reader(path)
+        keyed = ts.quarantine_key(quar)
+        assert clean.count() + quar.count() == n
+        got_clean = {r["doc_id"] for r in clean.select("doc_id").collect()}
+        assert got_clean == {
+            i for i in range(n)
+            if i % 10 not in (ts.UNPARSEABLE_RESIDUE, ts.MISSING_RESIDUE)
+        }
+        reasons = {r["reason"] for r in keyed.collect()}
+        assert reasons == {"unparseable", "missing_required:doc_id,text"}
+        missing_keys = {
+            r["rec_key"] for r in keyed.filter(
+                F.col("reason").startswith("missing")).collect()
+        }
+        assert missing_keys == {
+            str(i) for i in range(n) if i % 10 == ts.MISSING_RESIDUE
+        }
