@@ -119,12 +119,22 @@ def merge_statements(
     namespace: str = "kg",
     incoming_classes_view: str = "incoming_classes",
     incoming_relations_view: str = "incoming_relations",
+    class_fields: tuple[str, ...] = ONTOLOGY_CLASS_FIELDS,
 ) -> MergeProgram:
     """The Q5-ordered reconciliation as four MERGE statements over the
     two state tables, sourcing from temp views holding the extraction
     output. Statement order IS the contract (quirk Q5:
     ``mongodb_loader.py:225-241`` — obsolete handling, class upserts,
-    relation upserts)."""
+    relation upserts).
+
+    ``class_fields`` is the MERGE twin of the CDC operator's runtime
+    column introspection (``reconcile._any_field_differs``): pass the
+    incoming frame's actual columns and an evolved column participates
+    in the Q9 diff, the SET list, and the INSERT list with no code
+    edit. On a real catalog the schema evolution itself is an
+    ``ALTER TABLE ADD COLUMN`` first (Iceberg NULL-backfills existing
+    rows) — exactly what ``testing/merge_sim.py``'s evolved-state test
+    simulates on DuckDB."""
     cls = _q(catalog, namespace, CLASS_TABLE)
     rel = _q(catalog, namespace, RELATION_TABLE)
 
@@ -141,12 +151,12 @@ def merge_statements(
     # Q9 — whole-field inequality, None != '' counts
     # (mongodb_loader.py:84-86): negated null-safe equality per field.
     diff_pred = " OR ".join(
-        f"NOT (t.{f} <=> s.{f})" for f in ONTOLOGY_CLASS_FIELDS if f != "id"
+        f"NOT (t.{f} <=> s.{f})" for f in class_fields if f != "id"
     )
-    class_cols = ", ".join(ONTOLOGY_CLASS_FIELDS)
-    class_src_cols = ", ".join(f"s.{f}" for f in ONTOLOGY_CLASS_FIELDS)
+    class_cols = ", ".join(class_fields)
+    class_src_cols = ", ".join(f"s.{f}" for f in class_fields)
     set_clause = ", ".join(
-        f"t.{f} = s.{f}" for f in ONTOLOGY_CLASS_FIELDS if f != "id"
+        f"t.{f} = s.{f}" for f in class_fields if f != "id"
     )
 
     return MergeProgram([

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import sys
+import tempfile
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -38,6 +39,76 @@ PROBE_QUERIES = [
 ]
 
 
+def _stage_events(spark, sf_dir: str, ckpt: str):
+    """FileStreamSource needs a directory: stage the single-file events
+    table as a multi-file copy under the probe's temp dir. File
+    boundaries (micro-batch cuts) intentionally differ between levels —
+    the probe asserts the emitted end state does not."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = f"{ckpt}/src"
+    batch.repartition(8).write.mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _stream_asof(spark, sf_dir: str, ckpt: str):
+    from ontology_loader_spark.streaming.stateful import asof_join_stream
+
+    stream = _stage_events(spark, sf_dir, ckpt)
+    name = f"asof_probe_{abs(hash(ckpt)) % 10**8}"
+    q = (
+        asof_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}")
+
+
+def _stream_winsor(spark, sf_dir: str, ckpt: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ontology_loader_spark.streaming.stateful import winsorized_stats_stream
+
+    stream = _stage_events(spark, sf_dir, ckpt)
+    name = f"winsor_probe_{abs(hash(ckpt)) % 10**8}"
+    q = (
+        winsorized_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # final emission per type (n_events grows monotonically)
+    emitted = spark.sql(f"select * from {name}")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# streaming twins: batch-boundary-sensitive state transitions; the
+# emitted END STATE must be identical at any parallelism (the same
+# two-cluster-size criterion as the batch probes)
+STREAM_PROBES = {
+    "asof_join_stream": _stream_asof,
+    "winsorized_stats_stream": _stream_winsor,
+}
+
+
 def run_level(cpus: int, sf_dir: str, names: list[str]) -> dict[str, str]:
     from ontology_loader_spark.session import get_spark
 
@@ -54,8 +125,8 @@ def run_level(cpus: int, sf_dir: str, names: list[str]) -> dict[str, str]:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     out: dict[str, str] = {}
-    for name in names:
-        df = qs[name](spark, sf_dir)
+
+    def _hash(df) -> str:
         cols = sorted(df.columns)
         rows = sorted(
             "\x01".join("NULL" if r[c] is None else repr(r[c]) for c in cols)
@@ -65,7 +136,15 @@ def run_level(cpus: int, sf_dir: str, names: list[str]) -> dict[str, str]:
         for line in rows:
             h.update(line.encode())
             h.update(b"\n")
-        out[name] = f"{len(rows)}:{h.hexdigest()}"
+        return f"{len(rows)}:{h.hexdigest()}"
+
+    for name in names:
+        if name in STREAM_PROBES:
+            ckpt = tempfile.mkdtemp(prefix=f"det_{name}_{cpus}_")
+            df = STREAM_PROBES[name](spark, sf_dir, ckpt)
+        else:
+            df = qs[name](spark, sf_dir)
+        out[name] = _hash(df)
         print(f"  local[{cpus}] {name}: {out[name][:24]}...", file=sys.stderr)
     spark.stop()
     return out
@@ -76,9 +155,10 @@ def main() -> None:
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
 
-    a = run_level(lo, sf_dir, PROBE_QUERIES)
-    b = run_level(hi, sf_dir, PROBE_QUERIES)
-    mismatches = [q for q in PROBE_QUERIES if a[q] != b[q]]
+    probes = PROBE_QUERIES + list(STREAM_PROBES)
+    a = run_level(lo, sf_dir, probes)
+    b = run_level(hi, sf_dir, probes)
+    mismatches = [q for q in probes if a[q] != b[q]]
 
     lines = [
         "# Cross-parallelism determinism",
@@ -96,12 +176,12 @@ def main() -> None:
         "| query | rows | identical |",
         "|---|---|---|",
     ]
-    for q in PROBE_QUERIES:
+    for q in probes:
         rows = a[q].split(":", 1)[0]
         lines.append(f"| {q} | {rows} | {'yes' if a[q] == b[q] else 'NO'} |")
     lines.append("")
     lines.append(
-        f"**{len(PROBE_QUERIES) - len(mismatches)}/{len(PROBE_QUERIES)} "
+        f"**{len(probes) - len(mismatches)}/{len(probes)} "
         "identical.**"
         + ("" if not mismatches else f" MISMATCHES: {mismatches}")
     )

@@ -226,3 +226,101 @@ def test_translate_merge_rejects_mixed_matched_clauses():
     )
     with pytest.raises(ValueError, match="mixes WHEN MATCHED"):
         translate_merge(mixed)
+
+
+def test_merge_program_evolved_schema_end_state_equals_reconcile(spark, tmp_path):
+    """Schema evolution through the MERGE-SQL twin: incoming classes
+    carry a column the stored state predates. On a real catalog that is
+    ALTER TABLE ADD COLUMN (Iceberg NULL-backfills) followed by the
+    same program generated from the incoming frame's columns — the CDC
+    introspection contract at the SQL-text level. End state must equal
+    the DataFrame reconcile() twin: kept rows NULL for the new column,
+    updated/inserted rows carry its value, and a row whose ONLY change
+    is the new column still counts as a Q9 update."""
+    import duckdb
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ontology_loader_spark.operators.reconcile import reconcile
+    from ontology_loader_spark.schemas import (
+        ONTOLOGY_CLASS_SCHEMA,
+        RELATION_SCHEMA,
+    )
+    from ontology_loader_spark.testing.merge_sim import run_program
+
+    evolved_schema = StructType(
+        list(ONTOLOGY_CLASS_SCHEMA.fields)
+        + [StructField("semantic_version", StringType())]
+    )
+
+    def _ecls(id_, name, ver, **kw):
+        base = _cls(id_, name, **kw)
+        base["semantic_version"] = ver
+        return base
+
+    prior_cls = spark.createDataFrame(
+        [_cls("X:1", "one", "d1"), _cls("X:2", "two", "d2"),
+         _cls("X:3", "three", "d3")],
+        ONTOLOGY_CLASS_SCHEMA,
+    )
+    incoming_cls = spark.createDataFrame(
+        [
+            _ecls("X:1", "one", "v2", definition="d1"),   # only new col differs
+            _ecls("X:2", "two", None, definition="d2"),   # null vs NULL -> unchanged
+            _ecls("X:5", "five", "v2", definition="d5"),  # insert with value
+        ],
+        evolved_schema,
+    )
+    prior_rel = spark.createDataFrame(
+        [("X:1", "p", "X:2", "nmdc:OntologyRelation")], RELATION_SCHEMA
+    )
+    incoming_rel = spark.createDataFrame(
+        [("X:5", "p", "X:1", "nmdc:OntologyRelation")], RELATION_SCHEMA
+    )
+
+    rec = reconcile(incoming_cls, incoming_rel, prior_cls, prior_rel,
+                    assume_unique_ids=True)
+
+    paths = {}
+    for nm, df in (("prior_cls", prior_cls), ("prior_rel", prior_rel),
+                   ("inc_cls", incoming_cls), ("inc_rel", incoming_rel)):
+        p = str(tmp_path / nm)
+        df.coalesce(1).write.parquet(p)
+        paths[nm] = p + "/*.parquet"
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA kg")
+    con.execute("CREATE TABLE memory.kg.ontology_class_set AS "
+                f"SELECT * FROM read_parquet('{paths['prior_cls']}')")
+    con.execute("CREATE TABLE memory.kg.ontology_relation_set AS "
+                f"SELECT * FROM read_parquet('{paths['prior_rel']}')")
+    con.execute("CREATE VIEW incoming_classes AS "
+                f"SELECT * FROM read_parquet('{paths['inc_cls']}')")
+    con.execute("CREATE VIEW incoming_relations AS "
+                f"SELECT * FROM read_parquet('{paths['inc_rel']}')")
+    # the catalog-side half of schema evolution (Iceberg NULL-backfill)
+    con.execute("ALTER TABLE memory.kg.ontology_class_set "
+                "ADD COLUMN semantic_version VARCHAR")
+
+    evolved_fields = tuple(
+        f.name for f in evolved_schema.fields
+    )
+    run_program(con, merge_statements("memory", "kg",
+                                      class_fields=evolved_fields))
+
+    duck = sorted(
+        (r[0], r[1], r[2]) for r in con.execute(
+            "SELECT id, name, semantic_version "
+            "FROM memory.kg.ontology_class_set").fetchall()
+    )
+    want = sorted(
+        (r["id"], r["name"], r["semantic_version"])
+        for r in rec.class_state.collect()
+    )
+    assert duck == want
+    # facts: kept row NULL-backfilled, value-only change was an update
+    state = {t[0]: t for t in duck}
+    assert state["X:3"][2] is None
+    assert state["X:1"][2] == "v2"
+    assert state["X:2"][2] is None
+    assert state["X:5"][2] == "v2"
