@@ -52,11 +52,13 @@ def _serializable(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def _write_tsv(df: DataFrame, target: Path, single_file: bool) -> None:
+def _write_delimited(
+    df: DataFrame, target: Path, single_file: bool, sep: str
+) -> None:
     df = _serializable(df)
     if single_file:
         tmp = target.with_suffix(".tmpdir")
-        df.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+        df.coalesce(1).write.mode("overwrite").option("sep", sep).option(
             "header", True
         ).csv(str(tmp))
         part = next(tmp.glob("part-*.csv"))
@@ -65,23 +67,36 @@ def _write_tsv(df: DataFrame, target: Path, single_file: bool) -> None:
         shutil.move(str(part), str(target))
         shutil.rmtree(tmp)
     else:
-        df.write.mode("overwrite").option("sep", "\t").option("header", True).csv(
+        df.write.mode("overwrite").option("sep", sep).option("header", True).csv(
             str(target)
         )
 
 
 def write_reports(
     reports: list[Report],
-    output_directory: str,
+    output_directory: str | None = None,
     single_file: bool = True,
     mimic_overwrite: bool = False,
+    output_format: str = "tsv",
 ) -> list[Path]:
-    """Write each report as TSV; returns written paths.
+    """Write each report as ``ontology_<type>s.<output_format>``;
+    returns written paths.
 
-    Default: distinct names ``ontology_<type>s_<i>.tsv`` on collision.
-    ``mimic_overwrite=True`` reproduces the reference's Q8 collision
-    (later same-type reports overwrite earlier ones).
+    ``output_format`` parity with the reference (``reporter.py:46-60``):
+    it names the file extension, and any format other than ``tsv``
+    falls back to comma-delimited CSV (the reference's bare
+    ``csv.writer``). ``output_directory=None`` creates a temp directory
+    (``reporter.py:46-48``).
+
+    Default: distinct names ``ontology_<type>s_<i>.<ext>`` on
+    collision. ``mimic_overwrite=True`` reproduces the reference's Q8
+    collision (later same-type reports overwrite earlier ones).
     """
+    if output_directory is None:
+        import tempfile
+
+        output_directory = tempfile.mkdtemp(prefix="ontology_reports_")
+    sep = "\t" if output_format == "tsv" else ","
     outdir = Path(output_directory)
     outdir.mkdir(parents=True, exist_ok=True)
     written: list[Path] = []
@@ -91,10 +106,10 @@ def write_reports(
         n = seen.get(report.report_type, 0)
         seen[report.report_type] = n + 1
         if mimic_overwrite or n == 0:
-            name = f"{base}.tsv"
+            name = f"{base}.{output_format}"
         else:
-            name = f"{base}_{n}.tsv"
+            name = f"{base}_{n}.{output_format}"
         target = outdir / name
-        _write_tsv(report.df, target, single_file)
+        _write_delimited(report.df, target, single_file, sep)
         written.append(target)
     return written

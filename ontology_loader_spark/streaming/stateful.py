@@ -250,7 +250,14 @@ def asof_join_stream(
     per micro-batch and O(1) state per user (the single best right
     row, NOT a buffer of the stream). Equality with the batch operator
     under ts-ordered micro-batch delivery is pinned by test via the
-    shared :func:`_asof_advance` transition."""
+    shared :func:`_asof_advance` transition.
+
+    Unlike ``winsorized_stats_stream`` (whose key domain is a small
+    type dictionary and therefore carries NO timeout), this operator
+    keys on user_id — corpus-scale — so idle users ARE evicted after
+    1h of processing time: bounded state is the right trade here, and
+    a left arriving after its user's eviction re-matches from scratch
+    (NULL until a fresh right) exactly as a cold start would."""
     sided = stream.filter(
         F.col("event_type").isin(left_type, right_type)
     ).select(

@@ -39,18 +39,44 @@ PROBE_QUERIES = [
 ]
 
 
+_STAGED: dict = {}
+
+
 def _stage_events(spark, sf_dir: str, ckpt: str):
     """FileStreamSource needs a directory: stage the single-file events
-    table as a multi-file copy under the probe's temp dir. File
-    boundaries (micro-batch cuts) intentionally differ between levels —
-    the probe asserts the emitted end state does not."""
+    table as a multi-file, ts-RANGE-ordered copy, ONCE per process —
+    both parallelism levels replay the identical micro-batch sequence
+    (part-00000 = earliest window, one file per trigger). The streaming
+    as-of contract is batch equality under ts-ordered delivery
+    (streaming/stateful.py::_asof_advance), so the replay must be an
+    ordered event log; what still varies between levels is exactly what
+    the probe is for — Arrow batch boundaries, shuffle width, and state
+    partition count."""
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src = f"{ckpt}/src"
-    batch.repartition(8).write.mode("overwrite").parquet(src)
+    if sf_dir not in _STAGED:
+        src = tempfile.mkdtemp(prefix="det_events_src_") + "/src"
+        (
+            batch.repartitionByRange(8, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        # FileStreamSource orders pending files by modification time:
+        # pin ascending mtimes on the range-ordered parts so the replay
+        # sequence is deterministic (ties would leave it to listing
+        # accidents)
+        import glob
+        import os
+        import time as _time
+
+        base = _time.time() - 1000
+        for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+            os.utime(f, (base + i, base + i))
+        _STAGED[sf_dir] = src
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(_STAGED[sf_dir])
     )
 
 

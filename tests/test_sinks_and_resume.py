@@ -116,3 +116,23 @@ def test_reports_written(spark, tmp_path):
     assert files == ["ontology_inserts.tsv", "ontology_inserts_1.tsv",
                      "ontology_updates.tsv"]
     assert (outdir / "ontology_inserts.tsv").stat().st_size > 0
+
+
+def test_write_reports_output_format_fallback(spark, tmp_path):
+    """Reference parity (reporter.py:46-60): output_format names the
+    extension, and any non-tsv format falls back to comma-delimited
+    CSV; output_directory=None writes to a fresh temp directory."""
+    df = spark.createDataFrame([("A:1", "x,y")], "id string, val string")
+    paths = write_reports(
+        [Report("insert", df, ["id", "val"])],
+        str(tmp_path / "csvfmt"), output_format="csv",
+    )
+    assert paths[0].name == "ontology_inserts.csv"
+    lines = paths[0].read_text().splitlines()
+    assert lines[0] == "id,val"
+    # the embedded comma must survive via CSV quoting
+    assert lines[1] == 'A:1,"x,y"'
+
+    tmp_paths = write_reports([Report("update", df, ["id", "val"])])
+    assert tmp_paths[0].exists()
+    assert "ontology_reports_" in str(tmp_paths[0].parent)
