@@ -62,7 +62,7 @@ SHIFT_KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -108,7 +108,7 @@ def _replicate(spark, table: str):
                         + (
                             F.pmod(
                                 F.xxhash64(
-                                    F.col("doc_id"), i, F.lit(c)
+                                    F.col("vec_id"), i, F.lit(c)
                                 ),
                                 F.lit(2001),
                             )
