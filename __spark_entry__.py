@@ -791,6 +791,43 @@ def q_textsource_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     return ts.quarantine_key(quarantined)
 
 
+def _obograph_tables(spark: SparkSession, sf_dir: str):
+    """S1 ingest gate plumbing: render the derived ontology as one OBO
+    Graph JSON document, then read it back through the distributed
+    obograph reader. The oracle is the derive CTEs themselves — the
+    round-trip must reproduce the tables they define bit-for-bit."""
+    from ontology_loader_spark.inputs.ingest import (
+        read_obograph_json,
+        write_obograph_fixture,
+    )
+
+    out = (
+        Path(__file__).resolve().parent
+        / ".fixtures"
+        / "obograph"
+        / f"{Path(sf_dir).name}.json"
+    )
+    write_obograph_fixture(spark, sf_dir, str(out))
+    return read_obograph_json(spark, str(out))
+
+
+def q_obograph_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td, _ = _obograph_tables(spark, sf_dir)
+    return td.select(
+        "id",
+        "name",
+        "definition",
+        F.array_join("alternative_names", ",").alias("alt_names_str"),
+        "is_obsolete",
+        "replaced_by",
+    )
+
+
+def q_obograph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ed = _obograph_tables(spark, sf_dir)
+    return ed
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.multimodal import (
         decode_payloads,
@@ -856,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textsource_csv_quarantine": q_textsource_csv_quarantine,
         "textsource_jsonl_clean": q_textsource_jsonl_clean,
         "textsource_jsonl_quarantine": q_textsource_jsonl_quarantine,
+        "obograph_term_dict": q_obograph_term_dict,
+        "obograph_edges": q_obograph_edges,
         "mention_ancestors": q_mention_ancestors,
         "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
@@ -987,6 +1026,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text.text_quality_sql(),
         "lang_id": _text.lang_id_sql(),
         "doc_fingerprint": _text.doc_fingerprint_sql(),
+        "obograph_term_dict": oracle.q_obograph_term_dict(),
+        "obograph_edges": oracle.q_obograph_edges(),
         "textsource_csv_clean": _textsource.clean_sql(),
         "textsource_csv_quarantine": _textsource.quarantine_sql("csv"),
         "textsource_jsonl_clean": _textsource.clean_sql(),

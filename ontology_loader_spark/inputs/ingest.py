@@ -244,3 +244,65 @@ def read_semsql_sqlite(
     term_dict = spark.createDataFrame(term_rows, TERM_DICT_SCHEMA)
     edges = spark.createDataFrame(edge_rows, EDGE_SCHEMA)
     return term_dict, edges
+
+
+# ------------------------------------------------------------- gate fixture
+
+
+def write_obograph_fixture(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+    """Render the sf_dir's derived ontology as one OBO Graph JSON
+    document — the driver-gate fixture for :func:`read_obograph_json`.
+
+    Because the fixture is a faithful re-encoding of ``derive_term_dict``
+    / ``derive_edges``, the DuckDB oracle for the ingest gates is simply
+    the derive CTEs themselves: JSON write → distributed JSON read must
+    round-trip to exactly the tables the CTEs define. Assembly touches
+    the driver only at ontology scale (one concatenated string per
+    side — the same dictionary-scale boundary as the SQLite reader
+    above)."""
+    from pathlib import Path
+
+    from ontology_loader_spark.inputs.derive import derive_edges, derive_term_dict
+
+    td = derive_term_dict(spark, sf_dir)
+    ed = derive_edges(spark, sf_dir)
+    node = F.struct(
+        F.col("id").alias("id"),
+        F.col("name").alias("lbl"),
+        F.struct(
+            F.struct(F.col("definition").alias("val")).alias("definition"),
+            F.transform(
+                F.col("alternative_names"), lambda s: F.struct(s.alias("val"))
+            ).alias("synonyms"),
+            F.col("is_obsolete").alias("deprecated"),
+            F.when(
+                F.col("replaced_by").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit(IAO_REPLACED_BY).alias("pred"),
+                        F.col("replaced_by").alias("val"),
+                    )
+                ),
+            ).alias("basicPropertyValues"),
+        ).alias("meta"),
+    )
+    nodes_json = (
+        td.select(F.to_json(node).alias("j"))
+        .agg(F.concat_ws(",", F.collect_list("j")))
+        .first()[0]
+    )
+    edge = F.struct(
+        F.col("subject").alias("sub"),
+        F.col("predicate").alias("pred"),
+        F.col("object").alias("obj"),
+    )
+    edges_json = (
+        ed.select(F.to_json(edge).alias("j"))
+        .agg(F.concat_ws(",", F.collect_list("j")))
+        .first()[0]
+    )
+    doc = '{"graphs":[{"nodes":[%s],"edges":[%s]}]}' % (nodes_json, edges_json)
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(doc)
+    return str(p)

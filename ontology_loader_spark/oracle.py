@@ -471,3 +471,21 @@ def q_union_find() -> str:
 )""",
         body="SELECT node AS term_id, MIN(reach) AS component FROM cc GROUP BY node",
     )
+
+
+def q_obograph_term_dict() -> str:
+    """Oracle for the OBO Graph JSON ingest round-trip: the fixture is
+    a faithful re-encoding of the derive CTE, so the expected table IS
+    the CTE (inputs/ingest.py::write_obograph_fixture)."""
+    return _with(
+        TERM_DICT_CTE,
+        body="SELECT id, name, definition, alt_names_str, "
+             "is_obsolete, replaced_by FROM term_dict",
+    )
+
+
+def q_obograph_edges() -> str:
+    return _with(
+        EDGES_CTE,
+        body="SELECT subject, predicate, object FROM edges",
+    )
