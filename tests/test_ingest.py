@@ -366,3 +366,35 @@ def test_cli_fetch_end_to_end_with_file_url(tmp_path):
     assert "classes=6" in out.stdout
     assert (tmp_path / "cache" / "envo" / "envo.db").exists()
     assert (tmp_path / "reports" / "ontology_inserts.tsv").exists()
+
+
+def test_obograph_fixture_roundtrips_derive_tables(spark, tmp_path):
+    """The gate fixture writer re-encodes derive_term_dict/derive_edges
+    as OBO Graph JSON; reading it back must reproduce both tables
+    exactly (empty-vs-null definition, empty alias arrays, obsolete
+    replaced_by chains, foreign-prefix ids all survive the re-encode)."""
+    from ontology_loader_spark.inputs.derive import derive_edges, derive_term_dict
+    from ontology_loader_spark.inputs.ingest import (
+        read_obograph_json,
+        write_obograph_fixture,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = write_obograph_fixture(spark, sf_dir, str(tmp_path / "fix.json"))
+    td, ed = read_obograph_json(spark, path)
+
+    want_td = sorted(
+        (r["id"], r["name"], r["definition"], tuple(r["alternative_names"]),
+         r["is_obsolete"], r["replaced_by"])
+        for r in derive_term_dict(spark, sf_dir).drop("k").collect()
+    )
+    got_td = sorted(
+        (r["id"], r["name"], r["definition"], tuple(r["alternative_names"]),
+         r["is_obsolete"], r["replaced_by"])
+        for r in td.collect()
+    )
+    assert got_td == want_td
+
+    want_ed = sorted(map(tuple, derive_edges(spark, sf_dir).collect()))
+    got_ed = sorted(map(tuple, ed.collect()))
+    assert got_ed == want_ed
