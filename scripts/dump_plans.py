@@ -30,7 +30,10 @@ KEY_QUERIES = [
 #: plumbing — the one operator whose kernel is Python by design)
 UDF_QUERIES = {"entity_linking_top1", "multimodal_decode",
                "multimodal_frame_sample", "multimodal_features",
-               "multimodal_resize_plan"}
+               "multimodal_resize_plan",
+               # consume the mention pipeline (detection + link scoring
+               # Arrow slots) upstream of their aggregates
+               "ancestor_rollup"}
 
 
 def main() -> None:
