@@ -811,8 +811,7 @@ def _obograph_tables(spark: SparkSession, sf_dir: str):
     return read_obograph_json(spark, str(out))
 
 
-def q_obograph_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    td, _ = _obograph_tables(spark, sf_dir)
+def _flatten_term_dict(td: DataFrame) -> DataFrame:
     return td.select(
         "id",
         "name",
@@ -823,9 +822,81 @@ def q_obograph_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_obograph_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td, _ = _obograph_tables(spark, sf_dir)
+    return _flatten_term_dict(td)
+
+
 def q_obograph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, ed = _obograph_tables(spark, sf_dir)
     return ed
+
+
+def _semsql_tables(spark: SparkSession, sf_dir: str):
+    """Same round-trip gate for the reference's actual artifact format
+    (semantic-sql SQLite): re-encode the derived ontology, read it back
+    through the SQLite reader, expect the derive CTEs."""
+    from ontology_loader_spark.inputs.ingest import (
+        read_semsql_sqlite,
+        write_semsql_fixture,
+    )
+
+    out = (
+        Path(__file__).resolve().parent
+        / ".fixtures"
+        / "semsql"
+        / f"{Path(sf_dir).name}.db"
+    )
+    write_semsql_fixture(spark, sf_dir, str(out))
+    return read_semsql_sqlite(spark, str(out))
+
+
+def q_semsql_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td, _ = _semsql_tables(spark, sf_dir)
+    return _flatten_term_dict(td)
+
+
+def q_semsql_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ed = _semsql_tables(spark, sf_dir)
+    return ed
+
+
+def q_streaming_mention_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming KG maintenance demo as a value-hash gate:
+    the sf_dir's edge set is replayed as a deterministic 4-batch CDC
+    stream (bulk add, remainder+duplicate replays, delete churn, re-add)
+    through ``StreamingClosureMaintainer``; the maintainer's FINAL
+    closure then grounds the mention triples. Because the replay nets to
+    exactly ``derive_edges``, the oracle is the batch
+    ``mention_ancestors`` SQL — every add/delete/replay must fold away."""
+    from ontology_loader_spark.operators.closure import relevant_entities
+    from ontology_loader_spark.pipeline import mention_triples_from_closure
+    from ontology_loader_spark.streaming.closure import (
+        replay_edge_cdc,
+        write_edge_cdc_fixture,
+    )
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions,
+        top1_links,
+    )
+
+    ed = derive.derive_edges(spark, sf_dir)
+    td = derive.derive_term_dict(spark, sf_dir)
+    cdc = write_edge_cdc_fixture(
+        spark,
+        ed,
+        str(
+            Path(__file__).resolve().parent
+            / ".fixtures"
+            / "edge_cdc"
+            / Path(sf_dir).name
+        ),
+    )
+    m = replay_edge_cdc(spark, relevant_entities(td, ONT), ONT, cdc)
+    tr = derive.derive_transcripts(spark, sf_dir)
+    md = derive.derive_mention_dict(spark, sf_dir)
+    links = top1_links(detect_mentions(spark, tr, md))
+    return mention_triples_from_closure(links, m.closure)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textsource_jsonl_quarantine": q_textsource_jsonl_quarantine,
         "obograph_term_dict": q_obograph_term_dict,
         "obograph_edges": q_obograph_edges,
+        "semsql_term_dict": q_semsql_term_dict,
+        "semsql_edges": q_semsql_edges,
+        "streaming_mention_ancestors": q_streaming_mention_ancestors,
         "mention_ancestors": q_mention_ancestors,
         "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
@@ -1028,6 +1102,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _text.doc_fingerprint_sql(),
         "obograph_term_dict": oracle.q_obograph_term_dict(),
         "obograph_edges": oracle.q_obograph_edges(),
+        "semsql_term_dict": oracle.q_obograph_term_dict(),
+        "semsql_edges": oracle.q_obograph_edges(),
+        # the CDC replay nets to exactly derive_edges, so the streaming
+        # gate's oracle IS the batch mention_ancestors SQL
+        "streaming_mention_ancestors": oracle.q_mention_ancestors(),
         "textsource_csv_clean": _textsource.clean_sql(),
         "textsource_csv_quarantine": _textsource.quarantine_sql("csv"),
         "textsource_jsonl_clean": _textsource.clean_sql(),

@@ -306,3 +306,58 @@ def write_obograph_fixture(spark: SparkSession, sf_dir: str, out_path: str) -> s
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(doc)
     return str(p)
+
+
+def write_semsql_fixture(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+    """Render the sf_dir's derived ontology as a semantic-sql SQLite
+    artifact (``statements`` + ``edge`` tables — the exact shape the
+    reference's oaklib adapter opens, ``ontology_processor.py:57``),
+    the driver-gate fixture for :func:`read_semsql_sqlite`.
+
+    Same oracle argument as the obograph fixture: a faithful re-encode
+    of ``derive_term_dict`` / ``derive_edges``, so the expected output
+    of the read-back IS the derive CTE. Driver-side assembly at
+    ontology scale only (the identical boundary the SQLite READER
+    already documents — SQLite is a single-file driver-local format)."""
+    import sqlite3
+    from pathlib import Path
+
+    from ontology_loader_spark.inputs.derive import derive_edges, derive_term_dict
+
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if p.exists():
+        p.unlink()
+
+    terms = derive_term_dict(spark, sf_dir).drop("k").collect()
+    edges = derive_edges(spark, sf_dir).collect()
+
+    stmts: list[tuple] = []
+    for r in terms:
+        stmts.append((r["id"], _SEMSQL_LABEL, r["name"], None))
+        stmts.append((r["id"], IAO_DEFINITION, r["definition"], None))
+        for a in r["alternative_names"]:
+            stmts.append((r["id"], SYNONYM_PREDS[0], a, None))
+        if r["is_obsolete"]:
+            stmts.append((r["id"], _SEMSQL_DEPRECATED, "true", None))
+        if r["replaced_by"] is not None:
+            stmts.append((r["id"], IAO_REPLACED_BY, None, r["replaced_by"]))
+
+    con = sqlite3.connect(str(p))
+    try:
+        con.execute(
+            "CREATE TABLE statements "
+            "(subject TEXT, predicate TEXT, value TEXT, object TEXT)"
+        )
+        con.execute(
+            "CREATE TABLE edge (subject TEXT, predicate TEXT, object TEXT)"
+        )
+        con.executemany("INSERT INTO statements VALUES (?,?,?,?)", stmts)
+        con.executemany(
+            "INSERT INTO edge VALUES (?,?,?)",
+            [(e["subject"], e["predicate"], e["object"]) for e in edges],
+        )
+        con.commit()
+    finally:
+        con.close()
+    return str(p)

@@ -275,7 +275,21 @@ def mention_ancestor_triples(
 
     links = top1_links(detect_mentions(spark, transcripts, mention_dict))
     rel = relevant_entities(term_dict, ontology)
-    closure_pairs = ancestor_closure(edges, rel, ontology).select(
+    closure = ancestor_closure(edges, rel, ontology)
+    return mention_triples_from_closure(links, closure, broadcast_closure)
+
+
+def mention_triples_from_closure(
+    links: DataFrame,
+    closure: DataFrame,
+    broadcast_closure: bool | None = None,
+) -> DataFrame:
+    """Probe-side half of :func:`mention_ancestor_triples`, factored so
+    an externally-maintained closure (e.g. the streaming CDC maintainer,
+    ``streaming/closure.py``) can feed the same corpus join. ``closure``
+    is (subject, object[, ...]) ancestor pairs; same measured
+    broadcast-vs-shuffle_hash dispatch as the batch path."""
+    closure_pairs = closure.select(
         F.col("subject").alias("term_id"),
         F.col("object").alias("ancestor"),
     )

@@ -134,6 +134,90 @@ class StreamingClosureMaintainer:
         self.batches_applied += 1
 
 
+def write_edge_cdc_fixture(spark: SparkSession, edges: DataFrame, out_dir: str) -> str:
+    """Render an edge set as a deterministic 4-file CDC replay whose NET
+    state is exactly ``edges`` — the driver-gate fixture for the
+    streaming maintainer (same re-encode-then-read-back argument as the
+    obograph/semsql ingest gates, ``inputs/ingest.py``):
+
+      f0  add  ~96% of the edges (crc32 split)
+      f1  add  the remaining ~4%, plus replays of edges already in f0
+               (idempotence under CDC duplicate delivery)
+      f2  delete  a ~2.5% crc32-selected subset (real DRed cone work)
+      f3  add  that same subset back (net zero churn)
+
+    Files carry pinned ascending mtimes (FileStreamSource orders by
+    mtime), fixed absolute epochs so a pre-existing staging survives
+    process restarts unchanged; staging is skipped when all four files
+    exist. The split/churn selectors are content hashes — no RNG, no
+    row-order dependence."""
+    import os
+    from pathlib import Path
+
+    out = Path(out_dir)
+    files = [out / f"f{i}.parquet" for i in range(4)]
+    if all(f.exists() for f in files):
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    key = F.crc32(F.concat_ws("|", *EDGE_KEY))
+    e = edges.select(*EDGE_KEY).withColumn("_k", key)
+    batches = [
+        e.filter(F.col("_k") % 29 != 0).drop("_k")
+        .withColumn("op", F.lit("add")),
+        # remainder + replays of already-delivered edges
+        e.filter(F.col("_k") % 29 == 0).drop("_k")
+        .unionByName(e.filter(F.col("_k") % 97 == 1).drop("_k"))
+        .withColumn("op", F.lit("add")),
+        e.filter(F.col("_k") % 41 == 0).drop("_k")
+        .withColumn("op", F.lit("delete")),
+        e.filter(F.col("_k") % 41 == 0).drop("_k")
+        .withColumn("op", F.lit("add")),
+    ]
+    base = 1_000_000_000  # fixed epoch; only the ordering matters
+    for i, b in enumerate(batches):
+        tmp = out / f"_stage{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(files[i])
+        for junk in tmp.glob("*"):
+            junk.unlink()
+        tmp.rmdir()
+        os.utime(files[i], (base + i, base + i))
+    return str(out)
+
+
+def replay_edge_cdc(
+    spark: SparkSession,
+    relevant: DataFrame,
+    ontology: str,
+    cdc_dir: str,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+) -> StreamingClosureMaintainer:
+    """Run an availableNow file-stream over ``cdc_dir`` through a fresh
+    :class:`StreamingClosureMaintainer` (one file per micro-batch) and
+    return the maintainer with its final (edges, closure) state. The
+    checkpoint is a throwaway tempdir: the maintainer's state lives in
+    this process, so a replay must always start from offset zero."""
+    import shutil
+    import tempfile
+
+    m = StreamingClosureMaintainer(spark, relevant, ontology, predicates)
+    ckpt = tempfile.mkdtemp(prefix="edge_cdc_ckpt_")
+    try:
+        q = (
+            stream_edge_ops(spark, cdc_dir)
+            .writeStream.foreachBatch(m.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return m
+
+
 def stream_edge_ops(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

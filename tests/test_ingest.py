@@ -398,3 +398,32 @@ def test_obograph_fixture_roundtrips_derive_tables(spark, tmp_path):
     want_ed = sorted(map(tuple, derive_edges(spark, sf_dir).collect()))
     got_ed = sorted(map(tuple, ed.collect()))
     assert got_ed == want_ed
+
+
+def test_semsql_fixture_roundtrips_derive_tables(spark, tmp_path):
+    """Same contract as the obograph fixture, through the reference's
+    actual artifact format: statements+edge SQLite re-encode of the
+    derive tables must read back to exactly those tables."""
+    from ontology_loader_spark.inputs.derive import derive_edges, derive_term_dict
+    from ontology_loader_spark.inputs.ingest import (
+        read_semsql_sqlite,
+        write_semsql_fixture,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = write_semsql_fixture(spark, sf_dir, str(tmp_path / "fix.db"))
+    td, ed = read_semsql_sqlite(spark, path)
+
+    def norm(rows):
+        return sorted(
+            (r["id"], r["name"], r["definition"], tuple(r["alternative_names"]),
+             r["is_obsolete"], r["replaced_by"])
+            for r in rows
+        )
+
+    assert norm(td.collect()) == norm(
+        derive_term_dict(spark, sf_dir).drop("k").collect()
+    )
+    assert sorted(map(tuple, ed.collect())) == sorted(
+        map(tuple, derive_edges(spark, sf_dir).collect())
+    )

@@ -110,3 +110,27 @@ def test_end_to_end_streaming_query_foreach_batch(spark, tmp_path):
     assert ("P:12", "P:1") in got   # added in the second file
     assert ("P:3", "P:1") not in got  # deleted in the second file
     assert F  # keep the import honest
+
+
+def test_edge_cdc_fixture_replay_nets_to_batch_state(spark, tmp_path):
+    """The gate fixture's 4-batch replay (bulk add, remainder+replays,
+    delete churn, re-add) must net to exactly the source edge set and
+    the from-scratch closure — the invariant the
+    ``streaming_mention_ancestors`` gate's oracle relies on."""
+    from ontology_loader_spark.inputs import derive
+    from ontology_loader_spark.inputs.derive import derive_edges, derive_term_dict
+    from ontology_loader_spark.operators.closure import relevant_entities
+    from ontology_loader_spark.streaming.closure import (
+        replay_edge_cdc,
+        write_edge_cdc_fixture,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ed = derive_edges(spark, sf_dir)
+    cdc = write_edge_cdc_fixture(spark, ed, str(tmp_path / "cdc"))
+    rel = relevant_entities(derive_term_dict(spark, sf_dir), derive.ONT)
+    m = replay_edge_cdc(spark, rel, derive.ONT, cdc)
+
+    assert m.batches_applied == 4
+    assert _rows(m.edges) == _rows(ed.select("subject", "predicate", "object"))
+    assert _rows(m.closure) == _rows(ancestor_closure(m.edges, rel, derive.ONT))
