@@ -899,6 +899,25 @@ def q_streaming_mention_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame
     return mention_triples_from_closure(links, m.closure)
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-axis structural quality: per-conversation role
+    counts, stable-order alternation breaks, repetition + length
+    features — one conv_id shuffle shared by the lag window and the
+    aggregate."""
+    from ontology_loader_spark.transcripts.quality import conversation_stats
+
+    return conversation_stats(derive.derive_transcripts(spark, sf_dir))
+
+
+def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate detection: md5-grouped turn texts
+    recurring in >= 2 distinct conversations (two-phase partial-distinct
+    aggregate — no per-group conv sets)."""
+    from ontology_loader_spark.transcripts.quality import template_turns
+
+    return template_turns(derive.derive_transcripts(spark, sf_dir))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.multimodal import (
         decode_payloads,
@@ -969,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semsql_term_dict": q_semsql_term_dict,
         "semsql_edges": q_semsql_edges,
         "streaming_mention_ancestors": q_streaming_mention_ancestors,
+        "conversation_stats": q_conversation_stats,
+        "template_turns": q_template_turns,
         "mention_ancestors": q_mention_ancestors,
         "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
@@ -1107,6 +1128,8 @@ def oracle_sql() -> dict[str, str]:
         # the CDC replay nets to exactly derive_edges, so the streaming
         # gate's oracle IS the batch mention_ancestors SQL
         "streaming_mention_ancestors": oracle.q_mention_ancestors(),
+        "conversation_stats": oracle.q_conversation_stats(),
+        "template_turns": oracle.q_template_turns(),
         "textsource_csv_clean": _textsource.clean_sql(),
         "textsource_csv_quarantine": _textsource.quarantine_sql("csv"),
         "textsource_jsonl_clean": _textsource.clean_sql(),

@@ -489,3 +489,53 @@ def q_obograph_edges() -> str:
         EDGES_CTE,
         body="SELECT subject, predicate, object FROM edges",
     )
+
+
+def q_conversation_stats() -> str:
+    """Transcript-axis structural quality oracle: per-conversation role
+    counts, alternation breaks in stable (turn_idx, text) order,
+    repetition and length features (``transcripts/quality.py``)."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT conv_id,
+       CAST(COUNT(*) AS INTEGER) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_tool,
+       CAST(SUM(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS INTEGER)
+         AS alternation_breaks,
+       CAST(COUNT(DISTINCT text) AS INTEGER) AS n_distinct_turns,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_turn_chars,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN LENGTH(text) END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN role = 'user' THEN LENGTH(text) END) AS DOUBLE)
+         AS assistant_user_char_ratio
+FROM (
+  SELECT conv_id, role, text, turn_idx,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, text)
+           AS prev_role
+  FROM transcripts
+) GROUP BY conv_id""",
+    )
+
+
+def q_template_turns() -> str:
+    """Cross-conversation boilerplate oracle: md5-grouped turn texts in
+    >= 2 distinct conversations."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT md5(text) AS turn_hash,
+       MIN(text) AS template_text,
+       CAST(COUNT(DISTINCT conv_id) AS INTEGER) AS n_convs,
+       CAST(COUNT(*) AS INTEGER) AS n_rows
+FROM transcripts
+GROUP BY md5(text)
+HAVING COUNT(DISTINCT conv_id) >= 2""",
+    )

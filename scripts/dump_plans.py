@@ -33,7 +33,7 @@ UDF_QUERIES = {"entity_linking_top1", "multimodal_decode",
                "multimodal_resize_plan",
                # consume the mention pipeline (detection + link scoring
                # Arrow slots) upstream of their aggregates
-               "ancestor_rollup"}
+               "ancestor_rollup", "streaming_mention_ancestors"}
 
 
 def main() -> None:
