@@ -918,6 +918,18 @@ def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_turns(derive.derive_transcripts(spark, sf_dir))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-corpus near dedup: a deterministic ~25% hash cut
+    plays the incoming snapshot, the rest the accepted corpus; the
+    corpus enters only as its stored LSH band index (never re-shingled)
+    and every new doc gets a dup_of_corpus / dup_in_batch / novel
+    verdict."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_docs, hist_docs = _dedup.snapshot_split(docs)
+    hist_bands = _dedup.minhash_bands(hist_docs)
+    return _dedup.incremental_minhash_dedup(new_docs, hist_bands)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_loader_spark.operators.multimodal import (
         decode_payloads,
@@ -990,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_mention_ancestors": q_streaming_mention_ancestors,
         "conversation_stats": q_conversation_stats,
         "template_turns": q_template_turns,
+        "incremental_dedup": q_incremental_dedup,
         "mention_ancestors": q_mention_ancestors,
         "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
@@ -1130,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_mention_ancestors": oracle.q_mention_ancestors(),
         "conversation_stats": oracle.q_conversation_stats(),
         "template_turns": oracle.q_template_turns(),
+        "incremental_dedup": _dedup.incremental_minhash_dedup_sql(),
         "textsource_csv_clean": _textsource.clean_sql(),
         "textsource_csv_quarantine": _textsource.quarantine_sql("csv"),
         "textsource_jsonl_clean": _textsource.clean_sql(),

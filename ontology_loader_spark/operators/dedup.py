@@ -677,3 +677,130 @@ SELECT d.doc_id AS doc_id,
 FROM ds d JOIN df f ON f.shingle = d.shingle
 GROUP BY d.doc_id"""
     )
+
+
+# --------------------------- incremental (snapshot-over-corpus) dedup
+
+#: hex4/65536 cut — ~25% of docs play the incoming snapshot in the gate
+SNAP_CUT = 16384
+
+
+def snapshot_split(documents: DataFrame, cut: int = SNAP_CUT):
+    """(new_docs, hist_docs) by a deterministic salted hash cut on
+    doc_id — the gate's stand-in for a real snapshot boundary (crawl
+    date, ingestion batch id). Salt ``snap:`` decorrelates from the
+    train/test cut. A projection: no shuffle, no RNG."""
+    h = _hex4_spark(
+        F.md5(F.concat(F.lit("snap:"), F.col("doc_id").cast("string")))
+    )
+    flagged = documents.withColumn("_is_new", h < cut)
+    return (
+        flagged.filter(F.col("_is_new")).drop("_is_new"),
+        flagged.filter(~F.col("_is_new")).drop("_is_new"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_documents: DataFrame,
+    hist_bands: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dedup an incoming snapshot against an already-accepted
+    corpus WITHOUT re-processing the corpus — the CommonCrawl-snapshot
+    production shape at 100 TB: the historical side enters as its
+    stored LSH band index (``minhash_bands`` output, a compact
+    (doc_id, band, band_key) table persisted once per snapshot), so
+    only the new documents are shingled/hashed each round.
+
+    Verdict per NEW doc (priority union + min, the corpus_prep
+    recipe): ``dup_of_corpus`` — shares a capped LSH bucket with any
+    historical doc; else ``dup_in_batch`` — shares one with a
+    lower-id new doc (min-id survivor); else ``novel``. The
+    ``max_bucket`` cap bounds every bucket of the COMBINED band table,
+    so hot boilerplate buckets stay O(max_bucket²) regardless of how
+    many snapshots accumulate. Output (doc_id, verdict).
+    """
+    new_bands = minhash_bands(new_documents).withColumn("is_new", F.lit(True))
+    hb = hist_bands.select("doc_id", "band", "band_key").withColumn(
+        "is_new", F.lit(False)
+    )
+    allb = new_bands.unionByName(hb)
+    ok = (
+        allb.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    capped = allb.join(ok, ["band", "band_key"], "left_semi")
+    cn = capped.filter(F.col("is_new")).select("band", "band_key", "doc_id")
+    ch = capped.filter(~F.col("is_new")).select("band", "band_key", "doc_id")
+    hist_hits = (
+        cn.join(ch, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("priority", F.lit(1))
+    )
+    left = cn.select("band", "band_key", F.col("doc_id").alias("a"))
+    right = cn.select("band", "band_key", F.col("doc_id").alias("b"))
+    batch_dups = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("priority", F.lit(2))
+    )
+    base = new_documents.select("doc_id").withColumn("priority", F.lit(3))
+    verdicts = (
+        base.unionByName(hist_hits)
+        .unionByName(batch_dups)
+        .groupBy("doc_id")
+        .agg(F.min("priority").alias("p"))
+    )
+    return verdicts.select(
+        "doc_id",
+        F.when(F.col("p") == 1, F.lit("dup_of_corpus"))
+        .when(F.col("p") == 2, F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+    )
+
+
+def incremental_minhash_dedup_sql(
+    cut: int = SNAP_CUT, max_bucket: int = MAX_BUCKET
+) -> str:
+    h = _hex4_sql("md5('snap:' || CAST(doc_id AS VARCHAR))")
+    return (
+        "WITH " + DOC_SHINGLES_CTE.strip() + "," + _minhash_sig_sql().strip() + ","
+        + _minhash_bands_sql().strip()
+        + f""",
+newdocs AS (SELECT doc_id FROM documents WHERE {h} < {cut}),
+marked AS (
+  SELECT b.doc_id, b.band, b.band_key, (n.doc_id IS NOT NULL) AS is_new
+  FROM bands b LEFT JOIN newdocs n ON b.doc_id = n.doc_id
+),
+ok_buckets AS (
+  SELECT band, band_key FROM marked
+  GROUP BY band, band_key HAVING COUNT(*) <= {max_bucket}
+),
+capped AS (
+  SELECT m.* FROM marked m
+  JOIN ok_buckets o ON m.band = o.band AND m.band_key = o.band_key
+),
+hist_hits AS (
+  SELECT DISTINCT l.doc_id FROM capped l JOIN capped r
+    ON l.band = r.band AND l.band_key = r.band_key
+   AND l.is_new AND NOT r.is_new
+),
+batch_dups AS (
+  SELECT DISTINCT r.doc_id FROM capped l JOIN capped r
+    ON l.band = r.band AND l.band_key = r.band_key
+   AND l.is_new AND r.is_new AND l.doc_id < r.doc_id
+)
+SELECT n.doc_id AS doc_id,
+  CASE WHEN hh.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       WHEN bd.doc_id IS NOT NULL THEN 'dup_in_batch'
+       ELSE 'novel' END AS verdict
+FROM newdocs n
+LEFT JOIN hist_hits hh ON n.doc_id = hh.doc_id
+LEFT JOIN batch_dups bd ON n.doc_id = bd.doc_id"""
+    )

@@ -698,3 +698,71 @@ def test_corpus_prep_containment_rule(spark):
                  for r in prepare_training_corpus(
                      docs, include_containment=True).collect()}
     assert with_cont == {1: "contained", 2: "kept", 3: "kept"}
+
+
+# --------------------- incremental (snapshot-over-corpus) near dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_verdicts(spark):
+    """dup_of_corpus beats dup_in_batch beats novel; the historical
+    side enters only as its band index."""
+    from ontology_loader_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch_tpl = "one two three four five six seven eight nine ten"
+    hist = _docs(spark, [(1, shared), (2, "totally different corpus text "
+                                         "with many unrelated words here")])
+    new = _docs(spark, [
+        (10, shared),          # near-identical to corpus doc 1
+        (11, batch_tpl),       # duplicate pair within the batch
+        (12, batch_tpl),       #   -> 11 survives, 12 is dup_in_batch
+        (13, "completely novel content nothing like anything else at all"),
+    ])
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_minhash_dedup(new, minhash_bands(hist)).collect()
+    }
+    assert got[10] == "dup_of_corpus"
+    assert got[11] == "novel"        # min-id survivor of the batch pair
+    assert got[12] == "dup_in_batch"
+    assert got[13] == "novel"
+
+
+def test_incremental_dedup_corpus_priority_beats_batch(spark):
+    """A new doc that matches BOTH the corpus and another new doc gets
+    the corpus verdict (priority union + min)."""
+    from ontology_loader_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    t = "red orange yellow green blue indigo violet white black grey"
+    hist = _docs(spark, [(1, t)])
+    new = _docs(spark, [(20, t), (21, t)])
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_minhash_dedup(new, minhash_bands(hist)).collect()
+    }
+    assert got[20] == "dup_of_corpus"
+    assert got[21] == "dup_of_corpus"  # corpus hit outranks 20 < 21
+
+
+def test_snapshot_split_is_deterministic_partition(spark):
+    from ontology_loader_spark.operators.dedup import snapshot_split
+
+    docs = _docs(spark, [(i, f"text {i}") for i in range(200)])
+    new1, hist1 = snapshot_split(docs)
+    new2, hist2 = snapshot_split(docs)
+    n1 = sorted(r["doc_id"] for r in new1.collect())
+    n2 = sorted(r["doc_id"] for r in new2.collect())
+    h1 = sorted(r["doc_id"] for r in hist1.collect())
+    assert n1 == n2                       # deterministic
+    assert not set(n1) & set(h1)          # partition
+    assert len(n1) + len(h1) == 200
+    assert 20 < len(n1) < 80              # ~25% cut
