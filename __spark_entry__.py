@@ -273,6 +273,68 @@ def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redirect_map(td).select("src", "dst")
 
 
+def q_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QC gate: hierarchy edges whose object id no term defines
+    (broadcast anti-join against the term dictionary)."""
+    from ontology_loader_spark.operators.validate import dangling_edges
+
+    return dangling_edges(
+        derive.derive_edges(spark, sf_dir), derive.derive_term_dict(spark, sf_dir)
+    )
+
+
+def q_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QC gate: nodes on a directed hierarchy cycle. The fixture
+    injects reversed twins for a 1/16 md5 slice of the hierarchy edges
+    (CYCLE_RESIDUE shared with the SQL oracle); the operator trims to
+    the cycle core, then runs the exact non-reflexive closure on it."""
+    from ontology_loader_spark.operators.validate import cycle_members
+    from ontology_loader_spark.schemas import DEFAULT_PREDICATES
+
+    ed = derive.derive_edges(spark, sf_dir)
+    is_cyc = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat_ws("|", "subject", "object")), 1, 1),
+        )
+        - 1
+        == oracle.CYCLE_RESIDUE
+    )
+    rev = ed.filter(
+        F.col("predicate").isin(*DEFAULT_PREDICATES) & is_cyc
+    ).select(
+        F.col("object").alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        F.col("subject").alias("object"),
+    )
+    return cycle_members(ed.unionByName(rev))
+
+
+def q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization as canonical N-Triples: the full distinct
+    relation state as IRI triples plus class rdfs:label literals —
+    pure-Catalyst line rendering (sinks/rdf.py)."""
+    from ontology_loader_spark.sinks.rdf import ntriples_export
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    classes = build_ontology_classes(td, ed, ONT)
+    return ntriples_export(
+        _relations_set(spark, sf_dir).select("subject", "predicate", "object"),
+        classes,
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 hot-key profile over events.user_id — the measured
+    input to every salting / broadcast decision (operators/skew.py)."""
+    from ontology_loader_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id", top_k=20
+    )
+
+
 def q_mention_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closure-grounded mention triples: transcripts -> top-1 links ->
     is_a/part_of ancestor expansion (ontology-bounded closure
@@ -991,6 +1053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that sat behind r4's 50-row cut (driver-checked r3, local-
         # harness green r4), and the two closure-join gates whose
         # dispatch changed this round ---
+        "ntriples_export": q_ntriples_export,
+        "key_skew_profile": q_key_skew_profile,
+        "dangling_edges": q_dangling_edges,
+        "cycle_members": q_cycle_members,
         "textsource_csv_clean": q_textsource_csv_clean,
         "textsource_csv_quarantine": q_textsource_csv_quarantine,
         "textsource_jsonl_clean": q_textsource_jsonl_clean,
@@ -1092,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ntriples_export": oracle.q_ntriples_export(),
+        "key_skew_profile": oracle.q_key_skew_profile(),
+        "dangling_edges": oracle.q_dangling_edges(),
+        "cycle_members": oracle.q_cycle_members(),
         "f1_curie_filter": oracle.q_f1_curie_filter(),
         "class_construction": oracle.q_class_construction(),
         "root_detection": oracle.q_root_detection(),

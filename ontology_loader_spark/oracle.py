@@ -539,3 +539,90 @@ FROM transcripts
 GROUP BY md5(text)
 HAVING COUNT(DISTINCT conv_id) >= 2""",
     )
+
+
+def q_ntriples_export() -> str:
+    """RDF materialization oracle: the distinct relation set as IRI
+    triples plus non-empty class labels as escaped literals, rendered
+    with the same IRI policy as ``sinks/rdf.py`` (OBO PURL CURIE
+    expansion, rdf-schema specials, urn fallback)."""
+    from ontology_loader_spark.sinks.rdf import RDFS, escaped_sql, iri_sql
+
+    s, p, o = iri_sql("subject"), iri_sql("predicate"), iri_sql("object")
+    label_iri = iri_sql("id")
+    return _with(
+        *KG_BASE_CTES, DIRECT_REL_CTE, CLOSURE_REL_CTE, ALL_REL_CTE,
+        DISTINCT_REL_CTE, CLASSES_CTE,
+        body=f"""
+SELECT subject, predicate, object,
+       '<' || ({s}) || '> <' || ({p}) || '> <' || ({o}) || '> .' AS line
+FROM distinct_rel
+UNION ALL
+SELECT id AS subject, 'rdfs:label' AS predicate, name AS object,
+       '<' || ({label_iri}) || '> <{RDFS}label> "'
+         || {escaped_sql("name")} || '" .' AS line
+FROM classes WHERE name <> ''""",
+    )
+
+
+def q_key_skew_profile() -> str:
+    from ontology_loader_spark.operators.skew import key_skew_profile_sql
+
+    return key_skew_profile_sql("events", "user_id", top_k=20)
+
+
+#: cycle-fixture split for the cycle_members gate: hierarchy edges whose
+#: md5(subject|object) first hex digit equals this residue (1/16 of the
+#: set) get a REVERSED rdfs:subClassOf twin injected, turning an
+#: acyclic derive graph into one with known cycles.
+CYCLE_RESIDUE = 6
+
+CYCLE_EDGE_COND = (
+    "(instr('0123456789abcdef', substr(md5(subject || '|' || object), "
+    f"1, 1)) - 1) = {CYCLE_RESIDUE}"
+)
+
+EDGES_CYC_CTE = f"""
+edges_cyc AS (
+  SELECT subject, predicate, object FROM edges
+  UNION ALL
+  SELECT object AS subject, 'rdfs:subClassOf' AS predicate,
+         subject AS object
+  FROM edges
+  WHERE predicate IN {PREDICATES_SQL} AND {CYCLE_EDGE_COND}
+)"""
+
+
+def q_dangling_edges() -> str:
+    """QC oracle: hierarchy edges asserting an object id that no term
+    defines (exact string match — shape-variant ids dangle)."""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE,
+        body=f"""
+SELECT subject, predicate, object FROM edges e
+WHERE predicate IN {PREDICATES_SQL}
+  AND NOT EXISTS (SELECT 1 FROM term_dict t WHERE t.id = e.object)""",
+    )
+
+
+def q_cycle_members() -> str:
+    """QC oracle: nodes on a directed hierarchy cycle — non-reflexive
+    reachability fixpoint over the cycle-injected edge set, keep
+    self-reaching nodes. (The recursive UNION dedups, so the CTE
+    terminates despite the cycles.)"""
+    hedges_cyc = f"""
+hedges_cyc AS (
+  SELECT DISTINCT subject, object FROM edges_cyc
+  WHERE predicate IN {PREDICATES_SQL}
+)"""
+    reach1 = """
+reach1(s, o) AS (
+  SELECT subject AS s, object AS o FROM hedges_cyc
+  UNION
+  SELECT r.s, e.object AS o FROM reach1 r
+  JOIN hedges_cyc e ON r.o = e.subject
+)"""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, EDGES_CYC_CTE, hedges_cyc, reach1,
+        body="SELECT DISTINCT s AS id FROM reach1 WHERE s = o",
+    )

@@ -177,3 +177,48 @@ def test_contamination_frequency_cap(spark):
     # of unrelated (train, bench) pairs
     uncapped = benchmark_contamination(docs, max_bench_docs=10**9).count()
     assert uncapped > len(hits)
+
+
+# --- key_skew_profile (operators/skew.py) ---------------------------------
+
+
+def test_key_skew_profile_exact_stats(spark):
+    from ontology_loader_spark.operators.skew import PPM, key_skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",), ("b",)] + [(None,)] * 8
+    df = spark.createDataFrame(rows, ["k"])
+    prof = {r["key"]: r.asDict() for r in key_skew_profile(df, "k", top_k=3).collect()}
+    # top-3 only, rank by count desc then key asc
+    assert set(prof) == {"hot", "warm", "NULL"}
+    assert prof["hot"]["rank"] == 1 and prof["warm"]["rank"] == 2
+    assert prof["NULL"]["rank"] == 3 and prof["NULL"]["n_rows"] == 8
+    total, n_keys = 100, 5
+    assert prof["hot"]["share_ppm"] == 60 * PPM // total
+    # hot is exactly 3x the mean key load (100 rows / 5 keys = 20)
+    assert prof["hot"]["x_mean_ppm"] == 60 * n_keys * PPM // total == 3 * PPM
+
+
+def test_key_skew_profile_tie_break_and_oracle_parity(spark):
+    import duckdb
+
+    from ontology_loader_spark.operators.skew import (
+        key_skew_profile,
+        key_skew_profile_sql,
+    )
+
+    rows = [(k,) for k in ["z", "y", "z", "y", "x", "w", "w", "w"]]
+    df = spark.createDataFrame(rows, ["k"])
+    got = [
+        tuple(r)
+        for r in key_skew_profile(df, "k", top_k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    # ties (y=2, z=2) break on key ascending
+    assert [g[0] for g in got] == ["w", "y", "z", "x"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"('{k[0]}')" for k in rows) + ") v(k)")
+    want = con.execute(key_skew_profile_sql("t", "k", top_k=4) +
+                       " ORDER BY rank").fetchall()
+    assert got == [tuple(w) for w in want]
