@@ -310,6 +310,14 @@ def q_cycle_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_members(ed.unionByName(rev))
 
 
+def q_term_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hierarchy distance to a root per node — BFS from the
+    root frontier, settled-at-first-reach = minimal depth."""
+    from ontology_loader_spark.operators.graph import term_depth
+
+    return term_depth(derive.derive_edges(spark, sf_dir))
+
+
 def q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization as canonical N-Triples: the full distinct
     relation state as IRI triples plus class rdfs:label literals —
@@ -1057,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "dangling_edges": q_dangling_edges,
         "cycle_members": q_cycle_members,
+        "term_depth": q_term_depth,
         "textsource_csv_clean": q_textsource_csv_clean,
         "textsource_csv_quarantine": q_textsource_csv_quarantine,
         "textsource_jsonl_clean": q_textsource_jsonl_clean,
@@ -1162,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": oracle.q_key_skew_profile(),
         "dangling_edges": oracle.q_dangling_edges(),
         "cycle_members": oracle.q_cycle_members(),
+        "term_depth": oracle.q_term_depth(),
         "f1_curie_filter": oracle.q_f1_curie_filter(),
         "class_construction": oracle.q_class_construction(),
         "root_detection": oracle.q_root_detection(),

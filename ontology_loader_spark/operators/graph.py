@@ -290,3 +290,86 @@ per_node AS (
 SELECT d.node AS node, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
 FROM deg d LEFT JOIN per_node p ON p.node = d.node"""
     )
+
+
+def term_depth(
+    edges: DataFrame,
+    predicates: tuple[str, ...] = DEFAULT_PREDICATES,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Shortest hierarchy distance from each node to a root: ``(id,
+    depth)`` with depth(root) = 0 and depth(x) = 1 + min over parents.
+
+    The semantic complement of the ancestor closure (which answers
+    "which ancestors" — this answers "how far"): rollup level
+    selection, depth-capped traversals, and depth-bucketed sampling
+    all key on it. BFS from the root frontier: each round joins the
+    child->parent edge set against the newly-settled frontier and
+    anti-joins already-settled nodes, so a node is settled at its
+    FIRST (minimal) distance — O(DAG height) rounds of one join +
+    one distinct each, ``localCheckpoint`` per round truncating
+    lineage (the ``operators/closure.py`` discipline). The edge set
+    broadcasts (ontology-bounded), the settled/frontier sets stay
+    distributed.
+
+    Assumes the hierarchy is acyclic — run ``validate.cycle_members``
+    first; a cycle's nodes have no root path and are simply never
+    settled (absent from the output), which the max_iter guard
+    bounds.
+    """
+    hedges = (
+        edges.filter(F.col("predicate").isin(*predicates))
+        .select("subject", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    subjects = hedges.select(F.col("subject").alias("id")).distinct()
+    objects = hedges.select(F.col("object").alias("id")).distinct()
+    # roots: nodes that never appear as a child (no outgoing hierarchy
+    # edge) — in the child->parent orientation, objects minus subjects
+    frontier = objects.join(subjects, "id", "left_anti").select(
+        "id", F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint(eager=True)
+    settled = frontier
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        step = (
+            hedges.join(
+                frontier, hedges["object"] == frontier["id"], "inner"
+            )
+            .select(
+                hedges["subject"].alias("id"),
+                (frontier["depth"] + 1).cast("int").alias("depth"),
+            )
+            .groupBy("id")
+            .agg(F.min("depth").alias("depth"))
+        )
+        frontier = step.join(
+            settled.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+    return settled
+
+
+def term_depth_sql(predicates_sql: str) -> str:
+    """DuckDB oracle twin: recursive distance enumeration (the UNION
+    dedups (id, d) pairs, terminating on a DAG), minimized per id."""
+    return f"""
+hedges_d AS (
+  SELECT DISTINCT subject, object FROM edges
+  WHERE predicate IN {predicates_sql}
+),
+roots AS (
+  SELECT DISTINCT object AS id FROM hedges_d
+  WHERE object NOT IN (SELECT subject FROM hedges_d)
+),
+walk(id, d) AS (
+  SELECT id, 0 FROM roots
+  UNION
+  SELECT e.subject, w.d + 1 FROM walk w
+  JOIN hedges_d e ON e.object = w.id
+),
+depths AS (
+  SELECT id, CAST(MIN(d) AS INTEGER) AS depth FROM walk GROUP BY id
+)"""

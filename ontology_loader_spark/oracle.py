@@ -626,3 +626,14 @@ reach1(s, o) AS (
         TERM_DICT_CTE, EDGES_CTE, EDGES_CYC_CTE, hedges_cyc, reach1,
         body="SELECT DISTINCT s AS id FROM reach1 WHERE s = o",
     )
+
+
+def q_term_depth() -> str:
+    """Shortest-distance-to-root oracle (min over the recursive
+    distance walk; see graph.py::term_depth_sql)."""
+    from ontology_loader_spark.operators.graph import term_depth_sql
+
+    return _with(
+        EDGES_CTE, term_depth_sql(PREDICATES_SQL),
+        body="SELECT id, depth FROM depths",
+    )

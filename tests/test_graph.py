@@ -92,3 +92,29 @@ def test_triangle_counts_partitioning_invariant(spark):
     one = sorted(map(tuple, triangle_counts(docs.coalesce(1)).collect()))
     many = sorted(map(tuple, triangle_counts(docs.repartition(7)).collect()))
     assert one == many
+
+
+# --- term_depth (graph.py) -------------------------------------------------
+
+
+def test_term_depth_min_over_parents_and_cycle_exclusion(spark):
+    from ontology_loader_spark.operators.graph import term_depth
+
+    ed = spark.createDataFrame(
+        [
+            # r is the root; a at 1; b has parents a (depth 2 path) and
+            # r (depth 1 path) -> min wins
+            ("a", "rdfs:subClassOf", "r"),
+            ("b", "rdfs:subClassOf", "a"),
+            ("b", "BFO:0000050", "r"),
+            ("c", "rdfs:subClassOf", "b"),
+            # a detached 2-cycle: no root path -> absent from output
+            ("p", "rdfs:subClassOf", "q"),
+            ("q", "rdfs:subClassOf", "p"),
+            # non-hierarchy edge: ignored entirely
+            ("z", "rdfs:seeAlso", "r"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = {r["id"]: r["depth"] for r in term_depth(ed).collect()}
+    assert got == {"r": 0, "a": 1, "b": 1, "c": 2}
