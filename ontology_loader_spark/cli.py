@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None)
     p.add_argument("--closure-strategy", choices=["frontier", "doubling"],
                    default="doubling")
+    p.add_argument("--validate-graph", action="store_true",
+                   help="pre-load structural QC: abort (exit 3) if the "
+                        "hierarchy contains a directed cycle — a cycle "
+                        "would send the reference's per-entity recursive "
+                        "traversal into its recursion limit, and here it "
+                        "would make closure depth data-dependent; "
+                        "dangling-edge count is reported but non-fatal "
+                        "(quirk Q2 allows foreign objects)")
     return p
 
 
@@ -120,6 +128,26 @@ def main(argv: list[str] | None = None) -> int:
             src_id = f"{args.term_dict}|{args.edges}"
             term_dict = spark.read.parquet(args.term_dict)
             edges = spark.read.parquet(args.edges)
+        if args.validate_graph:
+            from ontology_loader_spark.operators.validate import (
+                cycle_members,
+                dangling_edges,
+            )
+
+            n_cycle = cycle_members(edges).count()
+            n_dangling = dangling_edges(edges, term_dict).count()
+            print(
+                f"validate: cycle_members={n_cycle} "
+                f"dangling_edges={n_dangling}",
+                file=sys.stderr,
+            )
+            if n_cycle:
+                print(
+                    "error: hierarchy contains directed cycles — refusing "
+                    "to load (inspect with operators.validate.cycle_members)",
+                    file=sys.stderr,
+                )
+                return 3
         # input fingerprint = content-derived snapshot id (in production:
         # the Iceberg snapshot id of the input tables)
         fp = hashlib.sha256(

@@ -419,3 +419,152 @@ def winsorized_stats_stream(events: DataFrame, pct: int | None = None) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------ streaming conversation stats
+
+CONV_STATS_OUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("n_turns", IntegerType(), False),
+        StructField("n_user", IntegerType(), False),
+        StructField("n_assistant", IntegerType(), False),
+        StructField("n_tool", IntegerType(), False),
+        StructField("alternation_breaks", IntegerType(), False),
+        StructField("n_distinct_turns", IntegerType(), False),
+        StructField("sum_chars", LongType(), False),
+        StructField("max_chars", IntegerType(), False),
+        StructField("avg_turn_chars", DoubleType(), False),
+        StructField("assistant_user_char_ratio", DoubleType(), True),
+    ]
+)
+
+CONV_STATS_STATE_SCHEMA = StructType(
+    [
+        StructField("idxs", ArrayType(IntegerType()), True),
+        StructField("roles", ArrayType(StringType()), True),
+        StructField("texts", ArrayType(StringType()), True),
+    ]
+)
+
+
+def _conv_stats_advance(stored, rows):
+    """Pure per-conversation transition of the streaming stats twin:
+    fold a micro-batch's (turn_idx, role, text) rows into the stored
+    turn list, then recompute the EXACT batch ``conversation_stats``
+    answer over the whole delivered prefix — late / out-of-order
+    turns re-enter the stable (turn_idx, text) order retroactively,
+    which no running-pair alternation counter can do.
+
+    ``stored``: (idxs, roles, texts) parallel lists or None. Returns
+    (new_stored, stats_tuple) with the batch operator's column order.
+    Division semantics mirror Spark doubles (0/0 -> NaN, x/0 -> Inf).
+    """
+    turns = (
+        list(zip(stored[0], stored[1], stored[2])) if stored is not None else []
+    )
+    turns.extend(rows)
+    ordered = sorted(turns, key=lambda t: (t[0], t[2], t[1]))
+    roles = [t[1] for t in ordered]
+    texts = [t[2] for t in ordered]
+    n = len(ordered)
+    n_user = sum(1 for r in roles if r == "user")
+    n_assistant = sum(1 for r in roles if r == "assistant")
+    n_tool = sum(1 for r in roles if r == "tool")
+    breaks = sum(1 for i in range(1, n) if roles[i] == roles[i - 1])
+    lens = [len(t) for t in texts]
+    sum_chars = sum(lens)
+    user_chars = sum(len(t) for r, t in zip(roles, texts) if r == "user")
+    assistant_chars = sum(
+        len(t) for r, t in zip(roles, texts) if r == "assistant"
+    )
+    if n_user == 0 or n_assistant == 0:
+        ratio = None  # batch: NULL when either side is absent
+    elif user_chars == 0:
+        ratio = float("nan") if assistant_chars == 0 else float("inf")
+    else:
+        ratio = assistant_chars / user_chars
+    new_stored = (
+        [t[0] for t in ordered],
+        roles,
+        texts,
+    )
+    stats = (
+        n,
+        n_user,
+        n_assistant,
+        n_tool,
+        breaks,
+        len(set(texts)),
+        sum_chars,
+        max(lens),
+        sum_chars / n,
+        ratio,
+    )
+    return new_stored, stats
+
+
+def conversation_stats_stream(turns: DataFrame) -> DataFrame:
+    """Streaming twin of ``transcripts/quality.py::conversation_stats``:
+    per conv_id structural quality features whose every emission equals
+    the batch operator over the turns delivered so far.
+
+    State = the conversation's delivered (turn_idx, role, text) turns —
+    bounded per key by conversation length (~200 turns), the same
+    invariant the batch window relies on; across keys the state store
+    is an incremental per-conversation feature view of the corpus,
+    sharded by the conv_id hash and disk-backed (RocksDB) at scale —
+    the alternative is re-reading the same corpus per refresh. Keyed on
+    conv_id: one shuffle per micro-batch, identical partitioning to
+    every batch transcript operator.
+
+    No state timeout, deliberately (the winsorized twin's contract
+    argument): evicting an idle conversation would silently restart its
+    stats when a late turn arrives. A deployment that bounds lateness
+    should evict via its own retention job keyed on conversation end
+    markers, not a wall-clock timeout inside this operator.
+    """
+
+    def update(
+        key: Tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stored = tuple(state.get) if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            for idx, role, text in zip(
+                pdf["turn_idx"], pdf["role"], pdf["text"]
+            ):
+                rows.append((int(idx), str(role), str(text)))
+        new_state, s = _conv_stats_advance(stored, rows)
+        state.update(new_state)
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.Series([key[0]], dtype="object"),
+                "n_turns": pd.Series([s[0]], dtype="int32"),
+                "n_user": pd.Series([s[1]], dtype="int32"),
+                "n_assistant": pd.Series([s[2]], dtype="int32"),
+                "n_tool": pd.Series([s[3]], dtype="int32"),
+                "alternation_breaks": pd.Series([s[4]], dtype="int32"),
+                "n_distinct_turns": pd.Series([s[5]], dtype="int32"),
+                "sum_chars": pd.Series([s[6]], dtype="int64"),
+                "max_chars": pd.Series([s[7]], dtype="int32"),
+                "avg_turn_chars": pd.Series([s[8]], dtype="float64"),
+                "assistant_user_char_ratio": pd.Series(
+                    [s[9]], dtype="float64"
+                ),
+            }
+        )
+
+    return (
+        turns.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_STATS_OUT_SCHEMA,
+            stateStructType=CONV_STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

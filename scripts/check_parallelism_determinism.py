@@ -36,6 +36,10 @@ PROBE_QUERIES = [
     "ann_ivf_topk",                 # trained k-means
     "semantic_dedup",               # k-means cells + md5 candidate cap
     "corpus_prep_containment",
+    "cycle_members",                # trim + exact closure fixpoints
+    "term_depth",                   # BFS settled-at-first-reach
+    "key_skew_profile",             # top-k ties + integral shares
+    "ntriples_export",              # string rendering, union order
 ]
 
 
@@ -126,12 +130,70 @@ def _stream_winsor(spark, sf_dir: str, ckpt: str):
     )
 
 
+def _stage_transcripts(spark, sf_dir: str):
+    """Stage derived transcripts as a deterministic multi-file source
+    (6 conv-range parts) shared by both parallelism levels. Unlike the
+    as-of twin, conversation stats carry NO delivery-order contract —
+    every emission is the batch answer over whatever arrived — so any
+    identical file split works; range-by-(conv_id, turn_idx, text)
+    makes the split itself parallelism-independent."""
+    key = ("transcripts", sf_dir)
+    if key not in _STAGED:
+        from ontology_loader_spark.inputs import derive
+
+        src = tempfile.mkdtemp(prefix="det_conv_src_") + "/src"
+        (
+            derive.derive_transcripts(spark, sf_dir)
+            .repartitionByRange(6, "conv_id", "turn_idx", "text")
+            .sortWithinPartitions("conv_id", "turn_idx", "text")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        _STAGED[key] = (src, spark.read.parquet(src).schema)
+    src, schema = _STAGED[key]
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _stream_conv_stats(spark, sf_dir: str, ckpt: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ontology_loader_spark.streaming.stateful import (
+        conversation_stats_stream,
+    )
+
+    stream = _stage_transcripts(spark, sf_dir)
+    name = f"convstats_probe_{abs(hash(ckpt)) % 10**8}"
+    q = (
+        conversation_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql(f"select * from {name}")
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # streaming twins: batch-boundary-sensitive state transitions; the
 # emitted END STATE must be identical at any parallelism (the same
 # two-cluster-size criterion as the batch probes)
 STREAM_PROBES = {
     "asof_join_stream": _stream_asof,
     "winsorized_stats_stream": _stream_winsor,
+    "conversation_stats_stream": _stream_conv_stats,
 }
 
 

@@ -54,6 +54,8 @@ PROBE_GATES = [
     "semantic_dedup",
     "mention_detection",
     "full_load",
+    "cycle_members",      # r5: trim-loop candidate growth at 10x edges
+    "ntriples_export",    # r5: map-only rendering must scale ~linearly
 ]
 
 # per-table key columns to shift by copy * (1 + max(key))

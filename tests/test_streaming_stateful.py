@@ -320,3 +320,110 @@ def test_winsorized_stream_query_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(emitted) > len(want)  # multiple micro-batches actually ran
+
+
+# ------------------------------ streaming conversation stats twin
+
+
+def _mk_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def _conv_rows():
+    rows = []
+    # c1: clean alternation + one duplicated text
+    seq = [("user", "hi there"), ("assistant", "hello back"),
+           ("user", "same text"), ("assistant", "same text"),
+           ("tool", "tool output x"), ("assistant", "wrap up")]
+    rows += [("c1", i, r, t) for i, (r, t) in enumerate(seq)]
+    # c2: same-role runs (alternation breaks), no tool turns
+    seq = [("user", "aaa"), ("user", "bbbb"), ("assistant", "ccccc"),
+           ("assistant", "dd"), ("assistant", "eeeeee")]
+    rows += [("c2", i, r, t) for i, (r, t) in enumerate(seq)]
+    # c3: assistant-only (ratio must be NULL)
+    rows += [("c3", 0, "assistant", "solo announcement")]
+    # c4: duplicate turn_idx with different texts (tie-break on text)
+    rows += [("c4", 0, "user", "z first"), ("c4", 0, "assistant", "a first"),
+             ("c4", 1, "user", "tail")]
+    return rows
+
+
+def test_conv_stats_transition_matches_batch_on_prefixes(spark):
+    """Out-of-order delivery: after every micro-batch the transition's
+    answer equals the batch operator on the delivered prefix."""
+    from ontology_loader_spark.streaming.stateful import _conv_stats_advance
+    from ontology_loader_spark.transcripts.quality import conversation_stats
+
+    rows = _conv_rows()
+    # deliver in three batches, deliberately NOT in turn order
+    batches = [rows[::3], rows[1::3], rows[2::3]]
+    stored: dict = {}
+    delivered = []
+    for batch in batches:
+        delivered.extend(batch)
+        got = {}
+        for conv in {r[0] for r in delivered}:
+            new_rows = [(r[1], r[2], r[3]) for r in batch if r[0] == conv]
+            prev = stored.get(conv)
+            if new_rows or prev is not None:
+                stored[conv], stats = _conv_stats_advance(prev, new_rows)
+                got[conv] = stats
+        want = {
+            r["conv_id"]: (
+                r["n_turns"], r["n_user"], r["n_assistant"], r["n_tool"],
+                r["alternation_breaks"], r["n_distinct_turns"],
+                r["sum_chars"], r["max_chars"], r["avg_turn_chars"],
+                r["assistant_user_char_ratio"],
+            )
+            for r in conversation_stats(_mk_turns(spark, delivered)).collect()
+        }
+        assert got == want
+
+
+def test_conv_stats_stream_query_matches_batch(spark, tmp_path):
+    """End-to-end availableNow query: last update-mode emission per
+    conversation equals the batch operator over the full input."""
+    from ontology_loader_spark.streaming.stateful import (
+        conversation_stats_stream,
+    )
+    from ontology_loader_spark.transcripts.quality import conversation_stats
+
+    df = _mk_turns(spark, _conv_rows())
+    src = tmp_path / "conv_src"
+    df.coalesce(3).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        conversation_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("conv_stats_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "conv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("select * from conv_stats_stream").collect()
+    last: dict = {}
+    for r in emitted:
+        if (r["conv_id"] not in last
+                or r["n_turns"] > last[r["conv_id"]]["n_turns"]):
+            last[r["conv_id"]] = r
+    cols = [
+        "n_turns", "n_user", "n_assistant", "n_tool",
+        "alternation_breaks", "n_distinct_turns", "sum_chars",
+        "max_chars", "avg_turn_chars", "assistant_user_char_ratio",
+    ]
+    got = {k: tuple(r[c] for c in cols) for k, r in last.items()}
+    want = {
+        r["conv_id"]: tuple(r[c] for c in cols)
+        for r in conversation_stats(df).collect()
+    }
+    assert got == want
