@@ -62,6 +62,12 @@ def _trim_to_cycle_core(hedges: DataFrame, max_iter: int) -> DataFrame:
     an edge is kept only while its object has an outgoing edge and its
     subject has an incoming edge. Fixpoint reached when the edge count
     stops shrinking."""
+    # Round count: each round peels every current source/sink, so a
+    # dangling PATH of length L peels from both ends in ~L/2 rounds —
+    # bounded by the hierarchy height (tens) in any real ontology. A
+    # pathological deeper residue just stops trimming at max_iter and
+    # hands a larger (still correct) core to the exact phase: the trim
+    # is purely an optimization, never a correctness dependency.
     core = hedges.localCheckpoint(eager=True)
     n = core.count()
     for _ in range(max_iter):
