@@ -1037,6 +1037,54 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(decode_payloads(with_payload(_docs(spark, sf_dir))))
 
 
+def q_term_lca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowest common ancestor + Wu-Palmer ppm similarity for a
+    deterministic term-pair sample over the reflexive closure —
+    measured broadcast dispatch on the pair and depth sides, two-phase
+    argmax (no corpus window)."""
+    from ontology_loader_spark.operators.graph import term_depth, term_lca
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    closure = ancestor_closure(ed, relevant_entities(td, ONT), ONT)
+    return term_lca(
+        closure, term_depth(ed), derive.derive_lca_pairs(spark, sf_dir)
+    )
+
+
+def q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix with event-time latency aggregates —
+    bounded per-conversation lag window + a |roles|^2-key groupBy."""
+    from ontology_loader_spark.transcripts.dialogue import (
+        turn_transition_stats,
+    )
+
+    return turn_transition_stats(derive.derive_transcripts(spark, sf_dir))
+
+
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage profile: call counts, distinct conversations,
+    payload diversity, summed positions — one groupBy(tool) with
+    two-phase partial-distinct aggregates."""
+    from ontology_loader_spark.transcripts.dialogue import tool_usage_profile
+
+    return tool_usage_profile(derive.derive_transcripts(spark, sf_dir))
+
+
+def q_conv_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation KG coverage: mention counts, distinct linked
+    terms, mentioning turns, deepest grounded term — Arrow-batched
+    detection + measured-dispatch depth join + conv_id aggregate."""
+    from ontology_loader_spark.pipeline import conversation_entity_profile
+
+    return conversation_entity_profile(
+        spark,
+        derive.derive_transcripts(spark, sf_dir),
+        derive.derive_mention_dict(spark, sf_dir),
+        derive.derive_edges(spark, sf_dir),
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1166,6 +1214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_insert_report": q_class_insert_report,
         "conversation_reassembly": q_conversation_reassembly,
         "transcript_ordering": q_transcript_ordering,
+        # --- new this round, appended BEHIND the window so the 50
+        # driver slots keep covering the least-recently-checked gates;
+        # these four rotate to the front next round (all four are
+        # local-harness green at sf0.001 and sf0.01 meanwhile) ---
+        "term_lca": q_term_lca,
+        "turn_transitions": q_turn_transitions,
+        "tool_usage": q_tool_usage,
+        "conv_entity_profile": q_conv_entity_profile,
     }
 
 
@@ -1276,4 +1332,8 @@ def oracle_sql() -> dict[str, str]:
             include_containment=True
         ),
         "full_load": oracle.q_relation_set(),
+        "term_lca": oracle.q_term_lca(),
+        "turn_transitions": oracle.q_turn_transitions(),
+        "tool_usage": oracle.q_tool_usage(),
+        "conv_entity_profile": oracle.q_conv_entity_profile(),
     }

@@ -267,6 +267,36 @@ mention_dict AS (
 )"""
 
 
+LCA_PAIR_MOD = 7  # k % 7 == 0 -> (FIX:k, FIX:k+1) is an LCA query pair
+
+
+def derive_lca_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic term-pair sample for the LCA / semantic-similarity
+    gate: ``(a, b) = (FIX:k, FIX:k+1)`` for ``k % LCA_PAIR_MOD == 0``
+    where BOTH endpoints are plain-``FIX:`` non-obsolete terms (the
+    mixed-case / foreign / colon-less id shapes and obsolete rows are
+    excluded on either side, symmetrically with the SQL CTE)."""
+    td = derive_term_dict(spark, sf_dir)
+    ok = td.filter(
+        F.col("id").startswith("FIX:") & ~F.col("is_obsolete")
+    ).select("id", "k")
+    a = ok.filter(F.col("k") % LCA_PAIR_MOD == 0).select(
+        F.col("id").alias("a"), F.col("k").alias("ka")
+    )
+    b = ok.select(F.col("id").alias("b"), (F.col("k") - 1).alias("ka"))
+    return a.join(b, "ka").select("a", "b")
+
+
+LCA_PAIRS_CTE = f"""
+lca_pairs AS (
+  SELECT a.id AS a, b.id AS b
+  FROM term_dict a JOIN term_dict b ON b.k = a.k + 1
+  WHERE a.k % {LCA_PAIR_MOD} = 0
+    AND a.id LIKE 'FIX:%' AND NOT a.is_obsolete
+    AND b.id LIKE 'FIX:%' AND NOT b.is_obsolete
+)"""
+
+
 MOD_PRIOR_MISSING = (4, 1)   # k % 4 == 1 -> absent from prior state (insert)
 MOD_PRIOR_STALE = (8, 2)     # k % 8 == 2 -> stale definition in prior (update)
 

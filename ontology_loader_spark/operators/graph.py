@@ -373,3 +373,155 @@ walk(id, d) AS (
 depths AS (
   SELECT id, CAST(MIN(d) AS INTEGER) AS depth FROM walk GROUP BY id
 )"""
+
+
+# ---------------------------------------------------------------- LCA
+
+LCA_WUP_SCALE = 1_000_000
+BROADCAST_DICT_ROWS_MAX = 2_000_000
+
+
+def _join_side(df: DataFrame, use_broadcast: bool) -> DataFrame:
+    """Measured-dispatch side: broadcast dictionary-scale sides, hint
+    shuffle_hash otherwise so the big-side join never degrades to a
+    sort-merge (the ``pipeline.py`` closure-join discipline)."""
+    return F.broadcast(df) if use_broadcast else df.hint("shuffle_hash")
+
+
+def term_lca(
+    closure: DataFrame,
+    depths: DataFrame,
+    pairs: DataFrame,
+    broadcast_pairs: bool | None = None,
+    broadcast_depths: bool | None = None,
+    max_broadcast_rows: int = BROADCAST_DICT_ROWS_MAX,
+) -> DataFrame:
+    """Lowest common ancestor + Wu-Palmer-style similarity for a set of
+    term pairs: ``(a, b, lca, lca_depth, depth_a, depth_b, wup_ppm)``.
+
+    Semantics: candidates = ancestors shared by ``a`` and ``b`` under
+    the REFLEXIVE closure (a term is its own ancestor, so nested pairs
+    resolve to the deeper term); the LCA is the candidate with maximal
+    root distance (``term_depth``), ties broken by MIN ancestor id;
+    ``wup_ppm = (2 * depth(lca) * 1e6) div (depth(a) + depth(b))`` in
+    exact integer parts-per-million — multi-root DAG form of Wu &
+    Palmer (1994), float-free so both engines agree bit-for-bit. Pairs
+    where either side has no depth-grounded common ancestor (isolated
+    or cycle-trapped nodes) are absent from the output.
+
+    Scale shape: the closure is |terms| x depth pairs (corpus of
+    ancestor sets); the pair set and the depth table are
+    dictionary-scale. Both are measured (they arrive localCheckpointed
+    or get pinned here) and broadcast only under
+    ``max_broadcast_rows``; above it every join runs shuffle-hash on a
+    bounded-fanout key (per-term ancestor count <= DAG height). The
+    common-ancestor intersection joins on (a, b, anc) with fanout 1,
+    and the argmax is two map-side-combinable aggregations (max depth,
+    then min id at that depth) — no window over corpus rows anywhere.
+
+    Reference parity: no analog (the reference materializes closures
+    but never queries them, SURVEY.md §2.3 extension); the closure
+    input is the gate-verified ``ancestor_closure`` output.
+    """
+    anc = closure.select("subject", F.col("object").alias("anc"))
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    if broadcast_pairs is None:
+        broadcast_pairs = p.count() <= max_broadcast_rows
+    dd = depths.select(
+        F.col("id").alias("anc"), F.col("depth").alias("adepth")
+    ).localCheckpoint(eager=True)
+    if broadcast_depths is None:
+        broadcast_depths = dd.count() <= max_broadcast_rows
+
+    la = (
+        anc.alias("c")
+        .join(_join_side(p, broadcast_pairs).alias("p"),
+              F.col("c.subject") == F.col("p.a"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.col("c.anc").alias("anc"))
+    )
+    lb = (
+        anc.alias("c")
+        .join(_join_side(p, broadcast_pairs).alias("p"),
+              F.col("c.subject") == F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.col("c.anc").alias("anc"))
+    )
+    common = (
+        la.alias("x")
+        .join(
+            lb.hint("shuffle_hash").alias("y"),
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.anc") == F.col("y.anc")),
+        )
+        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                F.col("x.anc").alias("anc"))
+    )
+    commond = common.join(_join_side(dd, broadcast_depths), "anc").select(
+        "a", "b", "anc", "adepth"
+    )
+    dmax = commond.groupBy("a", "b").agg(F.max("adepth").alias("lca_depth"))
+    at_max = (
+        commond.alias("c")
+        .join(
+            dmax.hint("shuffle_hash").alias("m"),
+            (F.col("c.a") == F.col("m.a"))
+            & (F.col("c.b") == F.col("m.b"))
+            & (F.col("c.adepth") == F.col("m.lca_depth")),
+        )
+        .groupBy(F.col("c.a").alias("a"), F.col("c.b").alias("b"),
+                 F.col("m.lca_depth").alias("lca_depth"))
+        .agg(F.min(F.col("c.anc")).alias("lca"))
+    )
+    da = dd.select(F.col("anc").alias("a"), F.col("adepth").alias("depth_a"))
+    db = dd.select(F.col("anc").alias("b"), F.col("adepth").alias("depth_b"))
+    out = (
+        at_max.join(_join_side(da, broadcast_depths), "a")
+        .join(_join_side(db, broadcast_depths), "b")
+    )
+    wup = F.when(
+        F.col("depth_a") + F.col("depth_b") == 0,
+        F.lit(LCA_WUP_SCALE).cast("bigint"),
+    ).otherwise(
+        F.expr(
+            f"(2 * CAST(lca_depth AS BIGINT) * {LCA_WUP_SCALE})"
+            " DIV (CAST(depth_a AS BIGINT) + CAST(depth_b AS BIGINT))"
+        )
+    )
+    return out.select(
+        "a", "b", "lca",
+        F.col("lca_depth").cast("int").alias("lca_depth"),
+        F.col("depth_a").cast("int").alias("depth_a"),
+        F.col("depth_b").cast("int").alias("depth_b"),
+        wup.cast("bigint").alias("wup_ppm"),
+    )
+
+
+def term_lca_sql(f1_anc_sql: str) -> str:
+    """DuckDB oracle twin for :func:`term_lca` over the derive CTEs:
+    expects ``reach`` (reflexive closure), ``lca_pairs``, and the
+    ``depths`` CTE from :func:`term_depth_sql` upstream;
+    ``f1_anc_sql`` is the CURIE-validity predicate applied to the
+    emitted ancestor (mirroring ``ancestor_closure``'s F1 filter)."""
+    return f"""
+ancd AS (
+  SELECT r.s AS subject, r.o AS anc, d.depth AS adepth
+  FROM reach r JOIN depths d ON d.id = r.o
+  WHERE {f1_anc_sql}
+),
+lca_common AS (
+  SELECT p.a, p.b, la.anc, la.adepth
+  FROM lca_pairs p
+  JOIN ancd la ON la.subject = p.a
+  JOIN ancd lb ON lb.subject = p.b AND lb.anc = la.anc
+),
+lca_dmax AS (
+  SELECT a, b, MAX(adepth) AS lca_depth FROM lca_common GROUP BY a, b
+),
+lca_pick AS (
+  SELECT c.a, c.b, m.lca_depth, MIN(c.anc) AS lca
+  FROM lca_common c
+  JOIN lca_dmax m ON m.a = c.a AND m.b = c.b AND c.adepth = m.lca_depth
+  GROUP BY c.a, c.b, m.lca_depth
+)"""

@@ -637,3 +637,96 @@ def q_term_depth() -> str:
         EDGES_CTE, term_depth_sql(PREDICATES_SQL),
         body="SELECT id, depth FROM depths",
     )
+
+
+def q_term_lca() -> str:
+    """LCA + Wu-Palmer ppm oracle: reflexive reach ancestors joined to
+    the recursive depth walk, two-phase argmax (max depth, min id at
+    that depth) — see graph.py::term_lca_sql."""
+    from ontology_loader_spark.inputs.derive import LCA_PAIRS_CTE
+    from ontology_loader_spark.operators.curie import matches_ontology_sql
+    from ontology_loader_spark.operators.graph import (
+        term_depth_sql,
+        term_lca_sql,
+    )
+
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, HEDGES_CTE, REACH_CTE,
+        term_depth_sql(PREDICATES_SQL),
+        LCA_PAIRS_CTE,
+        term_lca_sql(matches_ontology_sql("r.o", "fix")),
+        body="""
+SELECT l.a AS a, l.b AS b, l.lca AS lca,
+       CAST(l.lca_depth AS INTEGER) AS lca_depth,
+       CAST(da.depth AS INTEGER) AS depth_a,
+       CAST(db.depth AS INTEGER) AS depth_b,
+       CAST(CASE WHEN da.depth + db.depth = 0 THEN 1000000
+            ELSE (2 * CAST(l.lca_depth AS BIGINT) * 1000000)
+                 // (CAST(da.depth AS BIGINT) + CAST(db.depth AS BIGINT))
+            END AS BIGINT) AS wup_ppm
+FROM lca_pick l
+JOIN depths da ON da.id = l.a
+JOIN depths db ON db.id = l.b""",
+    )
+
+
+def q_turn_transitions() -> str:
+    """Dialogue-dynamics oracle: role-transition matrix with naive
+    event-time latency aggregates (date_diff = the NTZ timestampdiff
+    on the Spark side; negative gaps kept as data-quality signal)."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        """seq AS (
+  SELECT conv_id, role, ts,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, text) AS prev_role,
+         lag(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx, text) AS prev_ts
+  FROM transcripts
+)""",
+        body="""
+SELECT prev_role, role,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(date_diff('second', prev_ts, ts)) AS BIGINT) AS sum_latency_s,
+       CAST(MIN(date_diff('second', prev_ts, ts)) AS BIGINT) AS min_latency_s,
+       CAST(MAX(date_diff('second', prev_ts, ts)) AS BIGINT) AS max_latency_s
+FROM seq WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role""",
+    )
+
+
+def q_tool_usage() -> str:
+    """Per-tool usage profile oracle (transcripts/dialogue.py)."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn_idx
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY tool""",
+    )
+
+
+def q_conv_entity_profile() -> str:
+    """Per-conversation KG-coverage oracle: mention detection restated
+    as contains() (the q_mention_counts equivalence), left-joined to
+    the recursive depth walk (pipeline.py::conversation_entity_profile)."""
+    from ontology_loader_spark.operators.graph import term_depth_sql
+
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        term_depth_sql(PREDICATES_SQL),
+        """mentions AS (
+  SELECT t.conv_id, t.turn_idx, d.id AS term_id
+  FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+)""",
+        body="""
+SELECT m.conv_id AS conv_id,
+       CAST(COUNT(*) AS INTEGER) AS n_mentions,
+       CAST(COUNT(DISTINCT m.term_id) AS INTEGER) AS n_terms,
+       CAST(COUNT(DISTINCT m.turn_idx) AS INTEGER) AS n_mention_turns,
+       CAST(MAX(dep.depth) AS INTEGER) AS max_term_depth
+FROM mentions m LEFT JOIN depths dep ON dep.id = m.term_id
+GROUP BY m.conv_id""",
+    )

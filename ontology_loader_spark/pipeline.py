@@ -341,3 +341,52 @@ def ancestor_mention_rollup(
         F.countDistinct(turn_key).alias("n_turns"),
         F.count("*").alias("n_mentions"),
     )
+
+
+def conversation_entity_profile(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    edges: DataFrame,
+    broadcast_depths: bool | None = None,
+) -> DataFrame:
+    """Per-conversation KG-coverage profile: how much of the ontology a
+    conversation touches, and how deep. Output, one row per
+    conversation with at least one detected mention:
+    (conv_id, n_mentions, n_terms, n_mention_turns, max_term_depth) —
+    mention rows, distinct linked terms, distinct mentioning turns, and
+    the deepest root distance among mentioned terms (NULL when no
+    mentioned term is depth-grounded). The conversation-level QC
+    consumers (route shallow/ungrounded conversations away from KG
+    training mixes) key on exactly this.
+
+    Scale shape: the mention side is corpus-scale (Arrow-batched
+    Aho-Corasick detection, ``transcripts/mentions.py``); the depth
+    table is |terms| rows — MEASURED, broadcast only under
+    ``BROADCAST_CLOSURE_PAIRS_MAX``, else a shuffle_hash-hinted left
+    equi-join on term_id (the ``mention_ancestor_triples``
+    discipline). The final groupBy(conv_id) is hash-uniform with
+    map-side-combinable aggregates; bounded conversations mean no
+    per-key skew."""
+    from ontology_loader_spark.operators.graph import term_depth
+    from ontology_loader_spark.transcripts.mentions import detect_mentions
+
+    mentions = detect_mentions(spark, transcripts, mention_dict)
+    dd = (
+        term_depth(edges)
+        .select(F.col("id").alias("term_id"), "depth")
+        .localCheckpoint(eager=True)
+    )
+    if broadcast_depths is None:
+        broadcast_depths = dd.count() <= BROADCAST_CLOSURE_PAIRS_MAX
+    side = F.broadcast(dd) if broadcast_depths else dd.hint("shuffle_hash")
+    return (
+        mentions.join(side, "term_id", "left")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("int").alias("n_mentions"),
+            F.count_distinct("term_id").cast("int").alias("n_terms"),
+            F.count_distinct("turn_idx").cast("int").alias("n_mention_turns"),
+            F.max("depth").cast("int").alias("max_term_depth"),
+        )
+    )

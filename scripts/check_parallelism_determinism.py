@@ -40,6 +40,8 @@ PROBE_QUERIES = [
     "term_depth",                   # BFS settled-at-first-reach
     "key_skew_profile",             # top-k ties + integral shares
     "ntriples_export",              # string rendering, union order
+    "term_lca",                     # two-phase argmax + min-id ties
+    "conv_entity_profile",          # Arrow detection + depth left join
 ]
 
 

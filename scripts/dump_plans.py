@@ -33,7 +33,8 @@ UDF_QUERIES = {"entity_linking_top1", "multimodal_decode",
                "multimodal_resize_plan",
                # consume the mention pipeline (detection + link scoring
                # Arrow slots) upstream of their aggregates
-               "ancestor_rollup", "streaming_mention_ancestors"}
+               "ancestor_rollup", "streaming_mention_ancestors",
+               "conv_entity_profile"}
 
 
 def main() -> None:

@@ -56,6 +56,8 @@ PROBE_GATES = [
     "full_load",
     "cycle_members",      # r5: trim-loop candidate growth at 10x edges
     "ntriples_export",    # r5: map-only rendering must scale ~linearly
+    "term_lca",           # r5: closure x pairs joins at 10x terms
+    "conv_entity_profile",  # r5: detection + depth join at 10x turns
 ]
 
 # per-table key columns to shift by copy * (1 + max(key))

@@ -1,0 +1,227 @@
+"""Hand-built semantics tests for the round-5 additions: term LCA /
+Wu-Palmer similarity (operators/graph.py), dialogue transition stats
+and tool usage (transcripts/dialogue.py), and the conversation
+KG-coverage profile (pipeline.py). The sf-scale value-hash parity vs
+DuckDB runs through scripts/check_queries_vs_oracle.py; these tests
+pin the SEMANTICS on fixtures where the expected answer is derivable
+by hand."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ontology_loader_spark.operators.graph import term_depth, term_lca
+from ontology_loader_spark.transcripts.dialogue import (
+    tool_usage_profile,
+    turn_transition_stats,
+)
+
+
+#        R
+#       / \
+#      A   B
+#     / \   \
+#    C   D   E      (child -> parent edges)
+#    |
+#    F
+_EDGES = [
+    ("A", "R"), ("B", "R"), ("C", "A"), ("D", "A"), ("E", "B"), ("F", "C"),
+]
+
+
+def _closure_df(spark):
+    """Reflexive ancestor pairs for the hand DAG."""
+    anc = {
+        "R": {"R"},
+        "A": {"A", "R"}, "B": {"B", "R"},
+        "C": {"C", "A", "R"}, "D": {"D", "A", "R"},
+        "E": {"E", "B", "R"}, "F": {"F", "C", "A", "R"},
+    }
+    rows = [(s, o) for s, xs in anc.items() for o in xs]
+    return spark.createDataFrame(rows, "subject string, object string")
+
+
+def _depths_df(spark):
+    rows = [("R", 0), ("A", 1), ("B", 1), ("C", 2), ("D", 2), ("E", 2), ("F", 3)]
+    return spark.createDataFrame(rows, "id string, depth int")
+
+
+def test_term_lca_hand_dag(spark):
+    pairs = spark.createDataFrame(
+        [("C", "D"), ("C", "E"), ("F", "C"), ("A", "B")], "a string, b string"
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in term_lca(_closure_df(spark), _depths_df(spark), pairs).collect()
+    }
+    # siblings under A
+    assert out[("C", "D")]["lca"] == "A"
+    assert out[("C", "D")]["lca_depth"] == 1
+    assert out[("C", "D")]["wup_ppm"] == (2 * 1 * 1_000_000) // (2 + 2)
+    # cross-branch: only the root is shared
+    assert out[("C", "E")]["lca"] == "R"
+    assert out[("C", "E")]["wup_ppm"] == 0
+    # nested pair: reflexive closure resolves to the SHALLOWER-set
+    # member itself (C is an ancestor of F)
+    assert out[("F", "C")]["lca"] == "C"
+    assert out[("F", "C")]["lca_depth"] == 2
+    assert out[("F", "C")]["wup_ppm"] == (2 * 2 * 1_000_000) // (3 + 2)
+    # depth-1 siblings
+    assert out[("A", "B")]["lca"] == "R"
+
+
+def test_term_lca_tie_breaks_min_id(spark):
+    # two common ancestors at the same (maximal) depth: X and Y both
+    # at depth 1; min id wins deterministically
+    closure = spark.createDataFrame(
+        [("u", "u"), ("u", "X"), ("u", "Y"), ("u", "R"),
+         ("v", "v"), ("v", "X"), ("v", "Y"), ("v", "R")],
+        "subject string, object string",
+    )
+    depths = spark.createDataFrame(
+        [("R", 0), ("X", 1), ("Y", 1), ("u", 2), ("v", 2)],
+        "id string, depth int",
+    )
+    pairs = spark.createDataFrame([("u", "v")], "a string, b string")
+    row = term_lca(closure, depths, pairs).collect()[0]
+    assert row["lca"] == "X"
+    assert row["lca_depth"] == 1
+
+
+def test_term_lca_broadcast_vs_shuffle_paths_agree(spark):
+    pairs = spark.createDataFrame(
+        [("C", "D"), ("C", "E"), ("F", "C")], "a string, b string"
+    )
+    kw = dict(closure=_closure_df(spark), depths=_depths_df(spark), pairs=pairs)
+    bc = {tuple(r) for r in term_lca(**kw, broadcast_pairs=True,
+                                     broadcast_depths=True).collect()}
+    sh = {tuple(r) for r in term_lca(**kw, broadcast_pairs=False,
+                                     broadcast_depths=False).collect()}
+    assert bc == sh and len(bc) == 3
+
+
+def test_term_lca_drops_ungrounded_pairs(spark):
+    # Z is isolated: reflexive-only closure, no depth row -> the pair
+    # must be absent, not null-filled
+    closure = _closure_df(spark).union(
+        spark.createDataFrame([("Z", "Z")], "subject string, object string")
+    )
+    pairs = spark.createDataFrame([("Z", "C"), ("C", "D")], "a string, b string")
+    out = term_lca(closure, _depths_df(spark), pairs).collect()
+    assert {(r["a"], r["b"]) for r in out} == {("C", "D")}
+
+
+def _ts(day: int, sec: int) -> datetime.datetime:
+    return datetime.datetime(2024, 3, day, 0, 0, 0) + datetime.timedelta(
+        seconds=sec
+    )
+
+
+def _transcripts_df(spark):
+    rows = [
+        # conv a: user -> assistant (+5s) -> tool (-3s, ts regression)
+        ("a", 0, "user", "hi", None, _ts(1, 10)),
+        ("a", 1, "assistant", "hello", None, _ts(1, 15)),
+        ("a", 2, "tool", "result", "search_0", _ts(1, 12)),
+        # conv b: user -> assistant (+86400s, next day)
+        ("b", 0, "user", "q", None, _ts(1, 0)),
+        ("b", 1, "assistant", "a", None, _ts(2, 0)),
+        # conv c: lone turn -> no transition
+        ("c", 0, "user", "solo", None, _ts(1, 0)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+
+
+def test_turn_transition_stats(spark):
+    out = {
+        (r["prev_role"], r["role"]): r
+        for r in turn_transition_stats(_transcripts_df(spark)).collect()
+    }
+    assert set(out) == {("user", "assistant"), ("assistant", "tool")}
+    ua = out[("user", "assistant")]
+    assert ua["n"] == 2
+    assert ua["sum_latency_s"] == 5 + 86400
+    assert ua["min_latency_s"] == 5
+    assert ua["max_latency_s"] == 86400
+    at = out[("assistant", "tool")]
+    # negative latency preserved (event-time regression signal)
+    assert (at["n"], at["sum_latency_s"], at["min_latency_s"]) == (1, -3, -3)
+
+
+def test_tool_usage_profile(spark):
+    t = _transcripts_df(spark).union(
+        spark.createDataFrame(
+            [("d", 2, "tool", "result", "search_0", _ts(3, 0)),
+             ("d", 5, "tool", "other", "search_1", _ts(3, 9))],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp_ntz",
+        )
+    )
+    out = {r["tool"]: r for r in tool_usage_profile(t).collect()}
+    assert set(out) == {"search_0", "search_1"}
+    s0 = out["search_0"]
+    assert s0["n_calls"] == 2
+    assert s0["n_convs"] == 2
+    assert s0["n_distinct_texts"] == 1  # "result" twice -> templated
+    assert s0["sum_turn_idx"] == 2 + 2
+    assert out["search_1"]["n_calls"] == 1
+
+
+def test_conversation_entity_profile_hand_case(spark):
+    from ontology_loader_spark.pipeline import conversation_entity_profile
+
+    transcripts = spark.createDataFrame(
+        [
+            ("a", 0, "user", "about widget alpha and widget beta", None,
+             _ts(1, 0)),
+            ("a", 1, "assistant", "widget alpha again", None, _ts(1, 1)),
+            ("b", 0, "user", "only widget gamma here", None, _ts(1, 0)),
+            ("c", 0, "user", "no mentions at all", None, _ts(1, 0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    mention_dict = spark.createDataFrame(
+        [("FIX:1", "widget alpha"), ("FIX:2", "widget beta"),
+         ("FIX:9", "widget gamma")],
+        "id string, name string",
+    )
+    # FIX:1 -> FIX:0 (root); FIX:2 -> FIX:1; FIX:9 has NO hierarchy
+    # edge -> undefined depth
+    edges = spark.createDataFrame(
+        [("FIX:1", "rdfs:subClassOf", "FIX:0"),
+         ("FIX:2", "rdfs:subClassOf", "FIX:1")],
+        "subject string, predicate string, object string",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in conversation_entity_profile(
+            spark, transcripts, mention_dict, edges
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}  # conv c has no mentions -> absent
+    a = out["a"]
+    assert a["n_mentions"] == 3       # alpha x2 + beta x1
+    assert a["n_terms"] == 2
+    assert a["n_mention_turns"] == 2
+    assert a["max_term_depth"] == 2   # FIX:2 at depth 2
+    b = out["b"]
+    assert (b["n_mentions"], b["n_terms"]) == (1, 1)
+    assert b["max_term_depth"] is None  # FIX:9 ungrounded -> NULL
+
+
+def test_term_depth_matches_lca_fixture(spark):
+    # sanity: term_depth over the hand DAG reproduces _depths_df
+    edges = spark.createDataFrame(
+        [(s, "rdfs:subClassOf", o) for s, o in _EDGES],
+        "subject string, predicate string, object string",
+    )
+    got = {(r["id"], r["depth"]) for r in term_depth(edges).collect()}
+    want = {tuple(r) for r in _depths_df(spark).collect()}
+    assert got == want
