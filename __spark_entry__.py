@@ -1071,6 +1071,32 @@ def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_profile(derive.derive_transcripts(spark, sf_dir))
 
 
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity near dedup: the gate-verified
+    shingle->MinHash->banded-LSH chain over conversations reassembled
+    in stable T1 order (a re-logged conversation duplicates every
+    turn; turn-level template detection can't see it)."""
+    from ontology_loader_spark.transcripts.ordering import reassembled
+
+    conv_docs = reassembled(derive.derive_transcripts(spark, sf_dir)).select(
+        F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text")
+    )
+    return _dedup.minhash_candidate_pairs(conv_docs)
+
+
+def q_mention_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG activity trend: per-(term, day) mention volume with ts
+    carried through the Arrow detection batch (no join-back across
+    duplicate turn keys)."""
+    from ontology_loader_spark.transcripts.mentions import mention_timeline
+
+    return mention_timeline(
+        spark,
+        derive.derive_transcripts(spark, sf_dir),
+        derive.derive_mention_dict(spark, sf_dir),
+    )
+
+
 def q_conv_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation KG coverage: mention counts, distinct linked
     terms, mentioning turns, deepest grounded term — Arrow-batched
@@ -1222,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_transitions": q_turn_transitions,
         "tool_usage": q_tool_usage,
         "conv_entity_profile": q_conv_entity_profile,
+        "conversation_dedup": q_conversation_dedup,
+        "mention_timeline": q_mention_timeline,
     }
 
 
@@ -1336,4 +1364,6 @@ def oracle_sql() -> dict[str, str]:
         "turn_transitions": oracle.q_turn_transitions(),
         "tool_usage": oracle.q_tool_usage(),
         "conv_entity_profile": oracle.q_conv_entity_profile(),
+        "conversation_dedup": _dedup.conversation_dedup_sql(),
+        "mention_timeline": oracle.q_mention_timeline(),
     }

@@ -190,11 +190,19 @@ def minhash_candidate_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .select("band", "band_key")
     )
-    capped = bands.join(ok_buckets, ["band", "band_key"], "left_semi")
+    # shuffle_hash hints: band_key is uniform by construction and
+    # neither side is broadcastable at corpus scale, so a hash join is
+    # always the right physical strategy — without the hint the planner
+    # falls back to sort-merge when the input is a derived frame with
+    # no size statistics (e.g. conversation reassembly) and sorts the
+    # band rows for nothing
+    capped = bands.join(
+        ok_buckets.hint("shuffle_hash"), ["band", "band_key"], "left_semi"
+    )
     left = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
     right = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
     return (
-        left.join(right, ["band", "band_key"])
+        left.join(right.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -803,4 +811,28 @@ SELECT n.doc_id AS doc_id,
 FROM newdocs n
 LEFT JOIN hist_hits hh ON n.doc_id = hh.doc_id
 LEFT JOIN batch_dups bd ON n.doc_id = bd.doc_id"""
+    )
+
+
+def conversation_dedup_sql(max_bucket: int = MAX_BUCKET) -> str:
+    """Oracle for conversation-granularity near dedup: the SAME
+    shingle->MinHash->banded-LSH chain as ``minhash_candidates_sql``,
+    run over conversations reassembled in stable turn order (the T1
+    invariant) instead of the documents table — the CTE named
+    ``documents`` shadows the registered view, so the chain is reused
+    verbatim. Dedup at conversation granularity is the unit the
+    north-star KG job ingests (a re-logged conversation duplicates
+    EVERY turn; turn-level template detection can't see it)."""
+    from ontology_loader_spark.inputs.derive import TRANSCRIPTS_CTE
+
+    conv_docs = """
+documents AS (
+  SELECT conv_id AS doc_id,
+         string_agg(text, chr(10) ORDER BY turn_idx, text) AS text
+  FROM transcripts GROUP BY conv_id
+)"""
+    return minhash_candidates_sql(max_bucket).replace(
+        "WITH ",
+        "WITH " + TRANSCRIPTS_CTE.strip() + "," + conv_docs.strip() + ",",
+        1,
     )

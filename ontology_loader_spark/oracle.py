@@ -730,3 +730,19 @@ SELECT m.conv_id AS conv_id,
 FROM mentions m LEFT JOIN depths dep ON dep.id = m.term_id
 GROUP BY m.conv_id""",
     )
+
+
+def q_mention_timeline() -> str:
+    """Per-(term, day) mention volume oracle: the contains() join at
+    transcript-row granularity (the q_mention_counts equivalence, with
+    the row's own ts — no join-back fan-out) aggregated by day."""
+    return _with(
+        TERM_DICT_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        body="""
+SELECT d.id AS term_id,
+       strftime(t.ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT t.conv_id) AS BIGINT) AS n_convs
+FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+GROUP BY d.id, strftime(t.ts, '%Y-%m-%d')""",
+    )

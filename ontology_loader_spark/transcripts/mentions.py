@@ -291,3 +291,85 @@ def mention_counts_salted(mentions: DataFrame, n_salt: int = 16) -> DataFrame:
         .agg(F.count("*").alias("partial"))
     )
     return phase1.groupBy("term_id").agg(F.sum("partial").alias("n_mentions"))
+
+
+def detect_mentions_with_cols(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    extra_cols: tuple[str, ...],
+) -> DataFrame:
+    """:func:`detect_mentions` with transcript columns carried through
+    the Arrow batch: output (conv_id, turn_idx, term_id, surface,
+    *extra_cols). Kept as a separate function so the hot detection
+    path stays byte-identical for its many gate consumers.
+
+    Why passthrough instead of a join-back: (conv_id, turn_idx) is NOT
+    unique in dirty corpora (duplicate turn_idx per conversation —
+    SURVEY.md §7.3.5), so re-attaching ts/role by equi-join would
+    fan out across the duplicates; carrying the column with the row
+    through the batch preserves exact row-level provenance at zero
+    shuffle cost."""
+    import pyspark.sql.types as T
+
+    dict_rows = [
+        (r["id"], r["name"]) for r in mention_dict.select("id", "name").collect()
+    ]
+    bc = spark.sparkContext.broadcast(dict_rows)
+    in_cols = ["conv_id", "turn_idx", "text", *extra_cols]
+    src = transcripts.select(*in_cols)
+    extra_fields = [src.schema[c] for c in extra_cols]
+    out_schema = T.StructType(list(MENTION_SCHEMA.fields) + extra_fields)
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        match = _build_matcher(bc.value)
+        for pdf in batches:
+            idxs, term_ids, surfaces = [], [], []
+            for i, text in enumerate(pdf["text"]):
+                for term_id, surface in match(text):
+                    idxs.append(i)
+                    term_ids.append(term_id)
+                    surfaces.append(surface)
+            base = pdf.iloc[idxs].reset_index(drop=True)
+            out = pd.DataFrame(
+                {
+                    "conv_id": base["conv_id"].astype("object"),
+                    "turn_idx": base["turn_idx"].astype("int32"),
+                    "term_id": pd.Series(term_ids, dtype="object"),
+                    "surface": pd.Series(surfaces, dtype="object"),
+                }
+            )
+            for c in extra_cols:
+                out[c] = base[c]
+            yield out[out_names]
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def mention_timeline(
+    spark: SparkSession, transcripts: DataFrame, mention_dict: DataFrame
+) -> DataFrame:
+    """KG activity over time: per (term, day) mention volume —
+    (term_id, day, n_mentions, n_convs). The trend/burst-detection
+    input ('when did the corpus start talking about <term>?').
+
+    Scale shape: detection is the Arrow slot with ``ts`` carried
+    through the batch (no join-back, see
+    :func:`detect_mentions_with_cols`); the aggregate is one
+    groupBy((term_id, day)) — hub terms are spread across days, and
+    count/count-distinct partials combine map-side, so hot-term skew
+    is additive only."""
+    m = detect_mentions_with_cols(spark, transcripts, mention_dict, ("ts",))
+    return (
+        m.select(
+            "term_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "conv_id",
+        )
+        .groupBy("term_id", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.count_distinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )

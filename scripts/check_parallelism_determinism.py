@@ -42,6 +42,8 @@ PROBE_QUERIES = [
     "ntriples_export",              # string rendering, union order
     "term_lca",                     # two-phase argmax + min-id ties
     "conv_entity_profile",          # Arrow detection + depth left join
+    "conversation_dedup",           # LSH buckets over reassembled convs
+    "mention_timeline",             # Arrow passthrough batch boundaries
 ]
 
 

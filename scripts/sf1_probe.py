@@ -58,6 +58,7 @@ PROBE_GATES = [
     "ntriples_export",    # r5: map-only rendering must scale ~linearly
     "term_lca",           # r5: closure x pairs joins at 10x terms
     "conv_entity_profile",  # r5: detection + depth join at 10x turns
+    "conversation_dedup",   # r5: conv-level LSH bucket growth at 10x
 ]
 
 # per-table key columns to shift by copy * (1 + max(key))

@@ -225,3 +225,90 @@ def test_term_depth_matches_lca_fixture(spark):
     got = {(r["id"], r["depth"]) for r in term_depth(edges).collect()}
     want = {tuple(r) for r in _depths_df(spark).collect()}
     assert got == want
+
+
+def test_detect_mentions_with_cols_matches_base_and_carries_ts(spark):
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions,
+        detect_mentions_with_cols,
+    )
+
+    # duplicate (conv_id, turn_idx) keys with DIFFERENT ts: a join-back
+    # would fan out; the passthrough must keep row-level provenance
+    transcripts = spark.createDataFrame(
+        [
+            ("a", 0, "user", "widget alpha here", None, _ts(1, 0)),
+            ("a", 0, "user", "widget alpha again", None, _ts(2, 0)),
+            ("b", 1, "user", "nothing", None, _ts(1, 0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    mention_dict = spark.createDataFrame(
+        [("FIX:1", "widget alpha")], "id string, name string"
+    )
+    base = sorted(
+        tuple(r)
+        for r in detect_mentions(spark, transcripts, mention_dict).collect()
+    )
+    with_ts = detect_mentions_with_cols(
+        spark, transcripts, mention_dict, ("ts",)
+    ).collect()
+    assert sorted((r["conv_id"], r["turn_idx"], r["term_id"], r["surface"])
+                  for r in with_ts) == base
+    assert {r["ts"] for r in with_ts} == {_ts(1, 0), _ts(2, 0)}
+    assert len(with_ts) == 2  # one row per PHYSICAL matching turn row
+
+
+def test_mention_timeline_hand_case(spark):
+    from ontology_loader_spark.transcripts.mentions import mention_timeline
+
+    transcripts = spark.createDataFrame(
+        [
+            ("a", 0, "user", "widget alpha", None, _ts(1, 5)),
+            ("a", 1, "user", "widget alpha", None, _ts(2, 5)),
+            ("b", 0, "user", "widget alpha", None, _ts(2, 9)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    mention_dict = spark.createDataFrame(
+        [("FIX:1", "widget alpha")], "id string, name string"
+    )
+    out = {
+        (r["term_id"], r["day"]): (r["n_mentions"], r["n_convs"])
+        for r in mention_timeline(spark, transcripts, mention_dict).collect()
+    }
+    assert out == {
+        ("FIX:1", "2024-03-01"): (1, 1),
+        ("FIX:1", "2024-03-02"): (2, 2),
+    }
+
+
+def test_conversation_dedup_sees_relogged_conversation(spark):
+    from ontology_loader_spark.operators.dedup import minhash_candidate_pairs
+    from ontology_loader_spark.transcripts.ordering import reassembled
+    from pyspark.sql import functions as SF
+
+    base = [
+        ("c1", i, "user", f"the quick brown fox jumps over lazy dog {i}",
+         None, _ts(1, i))
+        for i in range(6)
+    ]
+    relog = [("c2", i, r, t, tool, ts) for (_, i, r, t, tool, ts) in base]
+    other = [
+        ("c3", i, "user", f"completely different content entirely {i} xyzzy",
+         None, _ts(1, i))
+        for i in range(6)
+    ]
+    t = spark.createDataFrame(
+        base + relog + other,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    conv_docs = reassembled(t).select(
+        SF.col("conv_id").alias("doc_id"), SF.col("conv_text").alias("text")
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(conv_docs).collect()}
+    assert ("c1", "c2") in pairs
+    assert ("c1", "c3") not in pairs and ("c2", "c3") not in pairs
