@@ -331,6 +331,12 @@ def detect_mentions_with_cols(
                     idxs.append(i)
                     term_ids.append(term_id)
                     surfaces.append(surface)
+            if not idxs:
+                # yield nothing for a matchless batch: an empty pandas
+                # frame with all-NA object columns trips dtype
+                # inference in the Arrow serializer (FutureWarning
+                # today, wrong dtypes tomorrow)
+                continue
             base = pdf.iloc[idxs].reset_index(drop=True)
             out = pd.DataFrame(
                 {
