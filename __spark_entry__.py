@@ -1071,6 +1071,24 @@ def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_profile(derive.derive_transcripts(spark, sf_dir))
 
 
+def q_term_similarity_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resnik-in-count-space semantic similarity: LCA pairs joined to
+    the ancestor rollup's corpus usage — exact-integer, the -log is a
+    monotone presentation transform left to consumers."""
+    from ontology_loader_spark.pipeline import term_similarity_ic
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    return term_similarity_ic(
+        spark,
+        derive.derive_transcripts(spark, sf_dir),
+        derive.derive_mention_dict(spark, sf_dir),
+        derive.derive_edges(spark, sf_dir),
+        td,
+        ONT,
+        derive.derive_lca_pairs(spark, sf_dir),
+    )
+
+
 def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity near dedup: the gate-verified
     shingle->MinHash->banded-LSH chain over conversations reassembled
@@ -1250,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_entity_profile": q_conv_entity_profile,
         "conversation_dedup": q_conversation_dedup,
         "mention_timeline": q_mention_timeline,
+        "term_similarity_ic": q_term_similarity_ic,
     }
 
 
@@ -1366,4 +1385,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_entity_profile": oracle.q_conv_entity_profile(),
         "conversation_dedup": _dedup.conversation_dedup_sql(),
         "mention_timeline": oracle.q_mention_timeline(),
+        "term_similarity_ic": oracle.q_term_similarity_ic(),
     }

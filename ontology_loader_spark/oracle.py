@@ -746,3 +746,52 @@ SELECT d.id AS term_id,
 FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
 GROUP BY d.id, strftime(t.ts, '%Y-%m-%d')""",
     )
+
+
+def q_term_similarity_ic() -> str:
+    """Resnik-in-count-space oracle: the LCA pick joined to the
+    ancestor rollup (usage of lca-or-descendants), zero-filled for
+    corpus-absent concepts (pipeline.py::term_similarity_ic)."""
+    from ontology_loader_spark.inputs.derive import LCA_PAIRS_CTE
+    from ontology_loader_spark.operators.curie import matches_ontology_sql
+    from ontology_loader_spark.operators.graph import (
+        term_depth_sql,
+        term_lca_sql,
+    )
+
+    links_cte = """
+top1_links AS (
+  SELECT conv_id, turn_idx, term_id FROM (
+    SELECT t.conv_id, t.turn_idx, d.id AS term_id,
+           ROW_NUMBER() OVER (PARTITION BY t.conv_id, t.turn_idx
+                              ORDER BY length(d.name) DESC, d.id) AS rnk
+    FROM transcripts t JOIN mention_dict d ON contains(t.text, d.name)
+  ) WHERE rnk = 1
+)"""
+    triples_cte = f"""
+mention_triples AS (
+  SELECT l.conv_id, l.turn_idx, l.term_id, r.o AS ancestor
+  FROM top1_links l JOIN reach r ON r.s = l.term_id
+  WHERE {matches_ontology_sql("r.o", "fix")}
+)"""
+    rollup_cte = """
+ic_rollup AS (
+  SELECT ancestor,
+         COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_turns,
+         COUNT(*) AS n_mentions
+  FROM mention_triples GROUP BY ancestor
+)"""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, TRANSCRIPTS_CTE, MENTION_DICT_CTE,
+        RELEVANT_CTE, HEDGES_CTE, REACH_CTE,
+        term_depth_sql(PREDICATES_SQL),
+        LCA_PAIRS_CTE,
+        term_lca_sql(matches_ontology_sql("r.o", "fix")),
+        links_cte, triples_cte, rollup_cte,
+        body="""
+SELECT l.a AS a, l.b AS b, l.lca AS lca,
+       CAST(l.lca_depth AS INTEGER) AS lca_depth,
+       CAST(COALESCE(ru.n_turns, 0) AS BIGINT) AS lca_n_turns,
+       CAST(COALESCE(ru.n_mentions, 0) AS BIGINT) AS lca_n_mentions
+FROM lca_pick l LEFT JOIN ic_rollup ru ON ru.ancestor = l.lca""",
+    )

@@ -390,3 +390,63 @@ def conversation_entity_profile(
             F.max("depth").cast("int").alias("max_term_depth"),
         )
     )
+
+
+def term_similarity_ic(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mention_dict: DataFrame,
+    edges: DataFrame,
+    term_dict: DataFrame,
+    ontology: str,
+    pairs: DataFrame,
+    broadcast_rollup: bool | None = None,
+) -> DataFrame:
+    """Resnik-style corpus-grounded semantic similarity, in exact count
+    space: for each query pair, the LCA (``operators/graph.py``) with
+    its corpus usage from the ancestor rollup — output
+    (a, b, lca, lca_depth, lca_n_turns, lca_n_mentions).
+
+    Resnik (1995) scores a pair by the information content of the most
+    informative common ancestor, IC(c) = -log p(c) with p(c) = usage
+    of c-or-descendants / total. Both factors are computed here: the
+    rollup's n_turns/n_mentions ARE the c-or-descendants usage (the
+    closure join already rolls every mention up the hierarchy), and
+    the -log is a monotone presentation-layer transform deliberately
+    left out — raw counts keep the result exact-integer and
+    engine-identical (the ``lm_score`` micro-nat discipline applies
+    only where a log must be compared, not stored). Lower counts =
+    rarer shared concept = more informative pair.
+
+    Scale shape: both inputs are gate-verified composites
+    (``ancestor_mention_rollup``, ``term_lca``); the final join is
+    LCA-keyed against the dictionary-sized rollup — measured, broadcast
+    under ``BROADCAST_CLOSURE_PAIRS_MAX``, else shuffle_hash. A pair
+    whose shared concept never occurs in the corpus keeps 0 counts
+    (LEFT join + COALESCE), which IS the signal 'maximally informative
+    if it ever appears'."""
+    from ontology_loader_spark.operators.closure import (
+        ancestor_closure,
+        relevant_entities,
+    )
+    from ontology_loader_spark.operators.graph import term_depth, term_lca
+
+    rollup = ancestor_mention_rollup(
+        spark, transcripts, mention_dict, edges, term_dict, ontology
+    )
+    closure = ancestor_closure(edges, relevant_entities(term_dict, ontology), ontology)
+    lca = term_lca(closure, term_depth(edges), pairs).select(
+        "a", "b", "lca", "lca_depth"
+    )
+    ru = rollup.select(
+        F.col("ancestor").alias("lca"), "n_turns", "n_mentions"
+    ).localCheckpoint(eager=True)
+    if broadcast_rollup is None:
+        broadcast_rollup = ru.count() <= BROADCAST_CLOSURE_PAIRS_MAX
+    side = F.broadcast(ru) if broadcast_rollup else ru.hint("shuffle_hash")
+    return lca.join(side, "lca", "left").select(
+        "a", "b", "lca",
+        F.col("lca_depth").cast("int").alias("lca_depth"),
+        F.coalesce(F.col("n_turns"), F.lit(0)).cast("bigint").alias("lca_n_turns"),
+        F.coalesce(F.col("n_mentions"), F.lit(0)).cast("bigint").alias("lca_n_mentions"),
+    )

@@ -34,7 +34,7 @@ UDF_QUERIES = {"entity_linking_top1", "multimodal_decode",
                # consume the mention pipeline (detection + link scoring
                # Arrow slots) upstream of their aggregates
                "ancestor_rollup", "streaming_mention_ancestors",
-               "conv_entity_profile"}
+               "conv_entity_profile", "term_similarity_ic"}
 
 
 def main() -> None:

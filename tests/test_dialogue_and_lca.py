@@ -312,3 +312,100 @@ def test_conversation_dedup_sees_relogged_conversation(spark):
     pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(conv_docs).collect()}
     assert ("c1", "c2") in pairs
     assert ("c1", "c3") not in pairs and ("c2", "c3") not in pairs
+
+
+import random
+
+import pytest
+
+
+def _py_lca_oracle(nodes, edges, pairs):
+    """Brute-force LCA ground truth: reflexive ancestor sets via DFS,
+    depth = min root distance via BFS from roots, LCA = max-depth
+    common ancestor with min-id tie break, Wu-Palmer ppm integer."""
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    anc = {}
+    for v in nodes:
+        seen, stack = {v}, [v]
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        anc[v] = seen
+    subjects = set(adj)
+    objects = {o for os in adj.values() for o in os}
+    roots = objects - subjects
+    depth, frontier, d = {}, set(roots), 0
+    radj = {}
+    for s, os in adj.items():
+        for o in os:
+            radj.setdefault(o, set()).add(s)
+    while frontier:
+        for v in frontier:
+            depth.setdefault(v, d)
+        frontier = {
+            c for v in frontier for c in radj.get(v, ()) if c not in depth
+        }
+        d += 1
+    out = {}
+    for a, b in pairs:
+        commons = [
+            (depth[x], x) for x in anc.get(a, ()) & anc.get(b, ())
+            if x in depth
+        ]
+        if not commons or a not in depth or b not in depth:
+            continue
+        dmax = max(c[0] for c in commons)
+        lca = min(x for dd, x in commons if dd == dmax)
+        da, db = depth[a], depth[b]
+        wup = 1_000_000 if da + db == 0 else (2 * dmax * 1_000_000) // (da + db)
+        out[(a, b)] = (lca, dmax, da, db, wup)
+    return out
+
+
+@pytest.mark.parametrize("seed,n,extra", [(11, 40, 20), (12, 60, 45)])
+def test_term_lca_random_dag_matches_bruteforce(spark, seed, n, extra):
+    rng = random.Random(seed)
+    edges = [(f"N{i}", f"N{rng.randrange(i)}") for i in range(1, n)]
+    for _ in range(extra):
+        i = rng.randrange(2, n)
+        edges.append((f"N{i}", f"N{rng.randrange(i)}"))
+    edges = sorted(set(edges))
+    nodes = [f"N{i}" for i in range(n)]
+    pairs = [
+        (f"N{rng.randrange(n)}", f"N{rng.randrange(n)}") for _ in range(25)
+    ]
+    pairs = [(a, b) for a, b in dict.fromkeys(pairs) if a != b]
+
+    want = _py_lca_oracle(nodes, edges, pairs)
+
+    anc_rows = []
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    for v in nodes:
+        seen, stack = {v}, [v]
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        anc_rows += [(v, x) for x in seen]
+    closure = spark.createDataFrame(anc_rows, "subject string, object string")
+    edge_df = spark.createDataFrame(
+        [(s, "rdfs:subClassOf", o) for s, o in edges],
+        "subject string, predicate string, object string",
+    )
+    depths = term_depth(edge_df)
+    pair_df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (r["lca"], r["lca_depth"], r["depth_a"],
+                           r["depth_b"], r["wup_ppm"])
+        for r in term_lca(closure, depths, pair_df).collect()
+    }
+    assert got == want
