@@ -91,3 +91,39 @@ def foreach_batch_mentions(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def streaming_mention_timeline(
+    spark: SparkSession, stream: DataFrame, mention_dict: DataFrame
+) -> DataFrame:
+    """Streaming twin of ``transcripts/mentions.py::mention_timeline``:
+    the Arrow detection UDF runs INSIDE the streaming plan (stateless
+    ``mapInPandas`` over micro-batches — legal precisely because
+    detection is batch-boundary independent, the SURVEY §7.3.5
+    determinism contract), followed by one complete-mode (term, day)
+    aggregation. Every emission equals the batch timeline's
+    (term_id, day, n_mentions) over the delivered prefix.
+
+    Deliberately omits the batch operator's ``n_convs``: distinct
+    aggregations are unsupported inside a streaming aggregate, and a
+    second (stacked) aggregation is equally unsupported — the honest
+    streaming surface is the additive count; conv-distinct rollups run
+    in the batch twin (or a foreachBatch maintainer, the
+    ``streaming/closure.py`` pattern) downstream.
+
+    Scale shape: identical to the batch twin — detection state is the
+    broadcast dictionary only; the aggregate's state store is keyed
+    (term, day), dictionary x active-days sized, additive under
+    map-side partials."""
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions_with_cols,
+    )
+
+    m = detect_mentions_with_cols(spark, stream, mention_dict, ("ts",))
+    return (
+        m.select(
+            "term_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("term_id", "day")
+        .agg(F.count("*").cast("bigint").alias("n_mentions"))
+    )

@@ -117,3 +117,34 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = spark.sql("select digest from stream_dedup").collect()
     assert len(got) == 10                      # one row per distinct text
     assert len({r["digest"] for r in got}) == 10
+
+
+def test_streaming_mention_timeline_matches_batch(spark, transcript_dir, tmp_path):
+    from ontology_loader_spark.streaming.ingest import (
+        streaming_mention_timeline,
+    )
+    from ontology_loader_spark.transcripts.mentions import mention_timeline
+
+    md = spark.createDataFrame([("T:1", "alpha"), ("T:2", "beta")],
+                               "id string, name string")
+    stream = stream_transcripts(spark, transcript_dir)
+    q = (
+        streaming_mention_timeline(spark, stream, md)
+        .writeStream.format("memory")
+        .queryName("mention_timeline_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["term_id"], r["day"]): r["n_mentions"]
+        for r in spark.sql("select * from mention_timeline_stream").collect()
+    }
+    batch = spark.read.parquet(transcript_dir)
+    want = {
+        (r["term_id"], r["day"]): r["n_mentions"]
+        for r in mention_timeline(spark, batch, md).collect()
+    }
+    assert got == want and len(want) > 0
