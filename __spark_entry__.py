@@ -1071,6 +1071,16 @@ def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_profile(derive.derive_transcripts(spark, sf_dir))
 
 
+def q_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-LM context windows: each turn + its previous 2 turns in
+    stable order; NULL-skipping concat at conversation starts."""
+    from ontology_loader_spark.transcripts.dialogue import (
+        turn_context_windows,
+    )
+
+    return turn_context_windows(derive.derive_transcripts(spark, sf_dir))
+
+
 def q_term_similarity_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resnik-in-count-space semantic similarity: LCA pairs joined to
     the ancestor rollup's corpus usage — exact-integer, the -log is a
@@ -1269,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dedup": q_conversation_dedup,
         "mention_timeline": q_mention_timeline,
         "term_similarity_ic": q_term_similarity_ic,
+        "turn_context": q_turn_context,
     }
 
 
@@ -1386,4 +1397,5 @@ def oracle_sql() -> dict[str, str]:
         "conversation_dedup": _dedup.conversation_dedup_sql(),
         "mention_timeline": oracle.q_mention_timeline(),
         "term_similarity_ic": oracle.q_term_similarity_ic(),
+        "turn_context": oracle.q_turn_context(),
     }

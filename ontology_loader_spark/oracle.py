@@ -795,3 +795,19 @@ SELECT l.a AS a, l.b AS b, l.lca AS lca,
        CAST(COALESCE(ru.n_mentions, 0) AS BIGINT) AS lca_n_mentions
 FROM lca_pick l LEFT JOIN ic_rollup ru ON ru.ancestor = l.lca""",
     )
+
+
+def q_turn_context() -> str:
+    """Dialogue context-window oracle: NULL-skipping concat_ws over
+    stable-order lags (transcripts/dialogue.py::turn_context_windows)."""
+    return _with(
+        TRANSCRIPTS_CTE,
+        body="""
+SELECT conv_id, turn_idx, role,
+       concat_ws(chr(10),
+                 lag(text, 2) OVER w,
+                 lag(text, 1) OVER w,
+                 text) AS context_text
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, text)""",
+    )

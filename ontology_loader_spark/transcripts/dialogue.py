@@ -92,3 +92,25 @@ def tool_usage_profile(transcripts: DataFrame) -> DataFrame:
             F.sum("turn_idx").cast("bigint").alias("sum_turn_idx"),
         )
     )
+
+
+def turn_context_windows(transcripts: DataFrame, n_prev: int = 2) -> DataFrame:
+    """Dialogue-LM training contexts: each turn with its previous
+    ``n_prev`` turns prepended in stable order — (conv_id, turn_idx,
+    role, context_text). The context-packing primitive for
+    next-turn-prediction corpora (the per-turn analog of
+    ``corpus.py::chunk_documents``'s overlap carry).
+
+    One bounded per-conversation lag window (the T1 ordering shuffle,
+    reused by every dialogue operator — never a global sort);
+    ``concat_ws`` skips the NULL lags at conversation starts in both
+    engines, so the first turns simply carry shorter contexts.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "text")
+    lags = [F.lag("text", i).over(w) for i in range(n_prev, 0, -1)]
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.concat_ws("\n", *lags, F.col("text")).alias("context_text"),
+    )

@@ -409,3 +409,20 @@ def test_term_lca_random_dag_matches_bruteforce(spark, seed, n, extra):
         for r in term_lca(closure, depths, pair_df).collect()
     }
     assert got == want
+
+
+def test_turn_context_windows_hand_case(spark):
+    from ontology_loader_spark.transcripts.dialogue import (
+        turn_context_windows,
+    )
+
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["context_text"]
+        for r in turn_context_windows(_transcripts_df(spark)).collect()
+    }
+    # conversation starts carry shorter contexts (NULL lags skipped)
+    assert out[("a", 0)] == "hi"
+    assert out[("a", 1)] == "hi\nhello"
+    assert out[("a", 2)] == "hi\nhello\nresult"
+    assert out[("b", 1)] == "q\na"
+    assert out[("c", 0)] == "solo"
