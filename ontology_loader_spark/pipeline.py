@@ -336,6 +336,14 @@ def ancestor_mention_rollup(
     triples = mention_ancestor_triples(
         spark, transcripts, mention_dict, edges, term_dict, ontology
     )
+    return rollup_from_triples(triples)
+
+
+def rollup_from_triples(triples: DataFrame) -> DataFrame:
+    """Aggregation half of :func:`ancestor_mention_rollup`, factored so
+    a caller that already owns the closure-grounded triples (e.g.
+    :func:`term_similarity_ic`, which shares ONE closure between the
+    rollup and the LCA) skips the second closure computation."""
     turn_key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx"))
     return triples.groupBy("ancestor").agg(
         F.countDistinct(turn_key).alias("n_turns"),
@@ -430,11 +438,18 @@ def term_similarity_ic(
         relevant_entities,
     )
     from ontology_loader_spark.operators.graph import term_depth, term_lca
-
-    rollup = ancestor_mention_rollup(
-        spark, transcripts, mention_dict, edges, term_dict, ontology
+    from ontology_loader_spark.transcripts.mentions import (
+        detect_mentions,
+        top1_links,
     )
-    closure = ancestor_closure(edges, relevant_entities(term_dict, ontology), ontology)
+
+    # ONE closure shared by the rollup join and both LCA traversals —
+    # it is the expensive iterative product here, so pin it
+    closure = ancestor_closure(
+        edges, relevant_entities(term_dict, ontology), ontology
+    ).localCheckpoint(eager=True)
+    links = top1_links(detect_mentions(spark, transcripts, mention_dict))
+    rollup = rollup_from_triples(mention_triples_from_closure(links, closure))
     lca = term_lca(closure, term_depth(edges), pairs).select(
         "a", "b", "lca", "lca_depth"
     )
