@@ -423,7 +423,12 @@ def term_lca(
     but never queries them, SURVEY.md §2.3 extension); the closure
     input is the gate-verified ``ancestor_closure`` output.
     """
-    anc = closure.select("subject", F.col("object").alias("anc"))
+    # the ancestor relation is traversed twice (a-side and b-side);
+    # pin it so an unpinned (e.g. freshly-iterated closure) input is
+    # materialized once, not once per traversal
+    anc = closure.select(
+        "subject", F.col("object").alias("anc")
+    ).localCheckpoint(eager=True)
     p = pairs.select("a", "b").localCheckpoint(eager=True)
     if broadcast_pairs is None:
         broadcast_pairs = p.count() <= max_broadcast_rows
