@@ -182,8 +182,17 @@ def minhash_candidate_pairs(
     per (band, band_key) first and dropping oversize buckets bounds the
     self-join output at ``|buckets| × max_bucket²`` regardless of skew.
     The count is one map-side-combinable aggregation over the band
-    rows; the window-free two-phase shape keeps it a plain groupBy."""
-    bands = minhash_bands(documents)
+    rows; the window-free two-phase shape keeps it a plain groupBy.
+
+    The band relation feeds three consumers (the bucket-count agg, the
+    cap semi-join, and both sides of the pair self-join); Spark does
+    NOT reuse the exchange across them, so without pinning the whole
+    shingle→signature→band pipeline recomputes per consumer (observed:
+    16 parquet scans in the un-pinned plan). ``localCheckpoint`` pins
+    the band rows (|docs| × bands, proportional to input) and the
+    capped subset once each — the standard persist-vs-recompute trade
+    every LSH implementation makes."""
+    bands = minhash_bands(documents).localCheckpoint(eager=True)
     ok_buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.count("*").alias("bucket_n"))
@@ -198,7 +207,7 @@ def minhash_candidate_pairs(
     # band rows for nothing
     capped = bands.join(
         ok_buckets.hint("shuffle_hash"), ["band", "band_key"], "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     left = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
     right = capped.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
     return (
