@@ -1269,9 +1269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_reassembly": q_conversation_reassembly,
         "transcript_ordering": q_transcript_ordering,
         # --- new this round, appended BEHIND the window so the 50
-        # driver slots keep covering the least-recently-checked gates;
-        # these four rotate to the front next round (all four are
-        # local-harness green at sf0.001 and sf0.01 meanwhile) ---
+        # driver slots keep covering the least-recently-checked gates.
+        # Rotation schedule (107 gates / 50 slots => full driver
+        # coverage cycles over ~3 rounds): r6 leads with these eight
+        # plus the least-recently-driver-checked of positions 50-98;
+        # every entry is local-harness green at sf0.001 AND sf0.01
+        # meanwhile (identical methodology, scripts/
+        # check_queries_vs_oracle.py) ---
         "term_lca": q_term_lca,
         "turn_transitions": q_turn_transitions,
         "tool_usage": q_tool_usage,

@@ -84,6 +84,18 @@ def main() -> None:
            "scans carry pushed filters/pruned schemas where a predicate",
            "exists, and Python appears only in the two deliberate",
            "Arrow-batched UDF slots (mention detection, link scoring).",
+           "",
+           "Recompute-vs-pin policy (why some plans scan the corpus",
+           "several times): intermediates that are SMALLER than their",
+           "input and feed multiple consumers are localCheckpointed once",
+           "(LSH band rows, ancestor closures, depth tables — Spark does",
+           "not reuse exchanges across consumers); intermediates that are",
+           "LARGER than their input (token/shingle explosions) or that",
+           "are plain pushed-down parquet scans are deliberately",
+           "recomputed — at 100 TB, re-scanning columnar storage with",
+           "pushdown beats materializing a corpus-sized (or larger)",
+           "intermediate to executor disks. A multi-scan corpus_prep plan",
+           "is therefore the intended shape, not a missed optimization.",
            "", *summary, "", *sections]
     (REPO / "PLANS.md").write_text("\n".join(out))
     print("\n".join(summary))
