@@ -1071,6 +1071,17 @@ def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_usage_profile(derive.derive_transcripts(spark, sf_dir))
 
 
+def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-set Jaccard similarity: structural-overlap complement
+    of Wu-Palmer — exact intersection/union counts in integer ppm."""
+    from ontology_loader_spark.operators.graph import term_ancestor_jaccard
+
+    td = derive.derive_term_dict(spark, sf_dir)
+    ed = derive.derive_edges(spark, sf_dir)
+    closure = ancestor_closure(ed, relevant_entities(td, ONT), ONT)
+    return term_ancestor_jaccard(closure, derive.derive_lca_pairs(spark, sf_dir))
+
+
 def q_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-LM context windows: each turn + its previous 2 turns in
     stable order; NULL-skipping concat at conversation starts."""
@@ -1284,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_timeline": q_mention_timeline,
         "term_similarity_ic": q_term_similarity_ic,
         "turn_context": q_turn_context,
+        "term_jaccard": q_term_jaccard,
     }
 
 
@@ -1402,4 +1414,5 @@ def oracle_sql() -> dict[str, str]:
         "mention_timeline": oracle.q_mention_timeline(),
         "term_similarity_ic": oracle.q_term_similarity_ic(),
         "turn_context": oracle.q_turn_context(),
+        "term_jaccard": oracle.q_term_jaccard(),
     }

@@ -530,3 +530,79 @@ lca_pick AS (
   JOIN lca_dmax m ON m.a = c.a AND m.b = c.b AND c.adepth = m.lca_depth
   GROUP BY c.a, c.b, m.lca_depth
 )"""
+
+
+def term_ancestor_jaccard(
+    closure: DataFrame,
+    pairs: DataFrame,
+    broadcast_pairs: bool | None = None,
+    max_broadcast_rows: int = BROADCAST_DICT_ROWS_MAX,
+) -> DataFrame:
+    """Ancestor-set Jaccard similarity for term pairs:
+    ``(a, b, n_inter, n_a, n_b, jaccard_ppm)`` with
+    ``jaccard_ppm = |anc(a) ∩ anc(b)| * 1e6 div |anc(a) ∪ anc(b)|``
+    over the REFLEXIVE ancestor sets — the structural-overlap
+    complement of :func:`term_lca`'s depth-based Wu-Palmer (two terms
+    deep in one subtree score high here even when their LCA is
+    mid-depth). Exact integers throughout; pairs with a side absent
+    from the closure domain are dropped (inner size joins), pairs with
+    disjoint sets keep 0.
+
+    Scale shape: identical to :func:`term_lca` — bounded-fanout joins
+    of the (pinned) ancestor relation against the measured pair side,
+    then map-side-combinable counts keyed (a, b); set sizes are one
+    groupBy(subject) over the closure. No windows, no driver state.
+    """
+    anc = closure.select(
+        "subject", F.col("object").alias("anc")
+    ).localCheckpoint(eager=True)
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    if broadcast_pairs is None:
+        broadcast_pairs = p.count() <= max_broadcast_rows
+
+    la = (
+        anc.alias("c")
+        .join(_join_side(p, broadcast_pairs).alias("p"),
+              F.col("c.subject") == F.col("p.a"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.col("c.anc").alias("anc"))
+    )
+    lb = (
+        anc.alias("c")
+        .join(_join_side(p, broadcast_pairs).alias("p"),
+              F.col("c.subject") == F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.col("c.anc").alias("anc"))
+    )
+    inter = (
+        la.alias("x")
+        .join(
+            lb.hint("shuffle_hash").alias("y"),
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.anc") == F.col("y.anc")),
+        )
+        .groupBy(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = anc.groupBy("subject").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("subject").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("subject").alias("b"), F.col("n").alias("n_b"))
+    out = (
+        p.join(sa.hint("shuffle_hash"), "a")
+        .join(sb.hint("shuffle_hash"), "b")
+        .join(inter.hint("shuffle_hash"), ["a", "b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    jac = F.expr(
+        f"(CAST(n_inter AS BIGINT) * {LCA_WUP_SCALE})"
+        " DIV (CAST(n_a AS BIGINT) + CAST(n_b AS BIGINT)"
+        " - CAST(n_inter AS BIGINT))"
+    )
+    return out.select(
+        "a", "b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        jac.cast("bigint").alias("jaccard_ppm"),
+    )

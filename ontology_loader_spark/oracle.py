@@ -811,3 +811,43 @@ SELECT conv_id, turn_idx, role,
 FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, text)""",
     )
+
+
+def q_term_jaccard() -> str:
+    """Ancestor-set Jaccard oracle: reflexive F1-filtered ancestor
+    sets, exact intersection/union counts, integer ppm
+    (graph.py::term_ancestor_jaccard)."""
+    from ontology_loader_spark.inputs.derive import LCA_PAIRS_CTE
+    from ontology_loader_spark.operators.curie import matches_ontology_sql
+
+    anc_cte = f"""
+anc_sets AS (
+  SELECT r.s AS subject, r.o AS anc FROM reach r
+  WHERE {matches_ontology_sql("r.o", "fix")}
+)"""
+    return _with(
+        TERM_DICT_CTE, EDGES_CTE, RELEVANT_CTE, HEDGES_CTE, REACH_CTE,
+        LCA_PAIRS_CTE, anc_cte,
+        """jac_sizes AS (
+  SELECT subject, COUNT(*) AS n FROM anc_sets GROUP BY subject
+)""",
+        """jac_inter AS (
+  SELECT p.a, p.b, COUNT(*) AS n_inter
+  FROM lca_pairs p
+  JOIN anc_sets x ON x.subject = p.a
+  JOIN anc_sets y ON y.subject = p.b AND y.anc = x.anc
+  GROUP BY p.a, p.b
+)""",
+        body="""
+SELECT p.a AS a, p.b AS b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST((COALESCE(i.n_inter, 0) * 1000000)
+            // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+         AS jaccard_ppm
+FROM lca_pairs p
+JOIN jac_sizes sa ON sa.subject = p.a
+JOIN jac_sizes sb ON sb.subject = p.b
+LEFT JOIN jac_inter i ON i.a = p.a AND i.b = p.b""",
+    )

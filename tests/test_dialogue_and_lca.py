@@ -426,3 +426,24 @@ def test_turn_context_windows_hand_case(spark):
     assert out[("a", 2)] == "hi\nhello\nresult"
     assert out[("b", 1)] == "q\na"
     assert out[("c", 0)] == "solo"
+
+
+def test_term_ancestor_jaccard_hand_dag(spark):
+    from ontology_loader_spark.operators.graph import term_ancestor_jaccard
+
+    pairs = spark.createDataFrame(
+        [("C", "D"), ("C", "E"), ("F", "C")], "a string, b string"
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in term_ancestor_jaccard(_closure_df(spark), pairs).collect()
+    }
+    # anc(C)={C,A,R}, anc(D)={D,A,R}: inter 2, union 4
+    cd = out[("C", "D")]
+    assert (cd["n_inter"], cd["n_a"], cd["n_b"]) == (2, 3, 3)
+    assert cd["jaccard_ppm"] == (2 * 1_000_000) // 4
+    # anc(C)={C,A,R}, anc(E)={E,B,R}: inter 1 (root), union 5
+    assert out[("C", "E")]["jaccard_ppm"] == 1_000_000 // 5
+    # anc(F)={F,C,A,R} contains anc(C): inter 3, union 4
+    fc = out[("F", "C")]
+    assert (fc["n_inter"], fc["jaccard_ppm"]) == (3, (3 * 1_000_000) // 4)
