@@ -44,6 +44,10 @@ PROBE_QUERIES = [
     "conv_entity_profile",          # Arrow detection + depth left join
     "conversation_dedup",           # LSH buckets over reassembled convs
     "mention_timeline",             # Arrow passthrough batch boundaries
+    "term_similarity_ic",           # shared-closure composite
+    "term_jaccard",                 # set-count ratios
+    "turn_context",                 # per-conv lag windows
+    "turn_transitions",             # NTZ latency aggregates
 ]
 
 
